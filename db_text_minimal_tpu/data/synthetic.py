@@ -1,0 +1,96 @@
+"""Synthetic scene-text dataset generator (TotalText gt format).
+
+No counterpart in the reference (it assumes the real datasets on disk); this
+exists so the framework is testable and demo-able end-to-end without the
+(large, licensed) originals: renders high-contrast text-like boxes on noisy
+backgrounds and writes ``gt_img{id}.txt`` files in the TotalText CSV format
+parsed by ``load_totaltext`` (``src/data_loaders.py:179-211``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _render_sample(rng: np.random.RandomState, size: int = 640,
+                   max_words: int = 6):
+    import cv2
+
+    img = np.full((size, size, 3), 0, np.uint8)
+    # textured background
+    img[:] = rng.randint(120, 200, size=(1, 1, 3), dtype=np.uint8)
+    noise = rng.randint(0, 30, size=(size, size, 3), dtype=np.uint8)
+    img = cv2.add(img, noise)
+
+    polys = []
+    n_words = rng.randint(1, max_words + 1)
+    tries = 0
+    while len(polys) < n_words and tries < 50:
+        tries += 1
+        w = rng.randint(80, 220)
+        h = rng.randint(24, 60)
+        x = rng.randint(0, size - w - 1)
+        y = rng.randint(0, size - h - 1)
+        box = np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]],
+                       np.float64)
+        # reject overlap with existing words (keeps labels unambiguous)
+        if any(not (box[:, 0].max() < p[:, 0].min() - 8
+                    or box[:, 0].min() > p[:, 0].max() + 8
+                    or box[:, 1].max() < p[:, 1].min() - 8
+                    or box[:, 1].min() > p[:, 1].max() + 8) for p in polys):
+            continue
+        angle = rng.uniform(-8, 8)
+        center = box.mean(axis=0)
+        rad = np.deg2rad(angle)
+        rot = np.array([[np.cos(rad), -np.sin(rad)],
+                        [np.sin(rad), np.cos(rad)]])
+        box = (box - center) @ rot.T + center
+        box = np.clip(box, 2, size - 3)
+        # dark "text" bar with light glyph-like strokes
+        cv2.fillPoly(img, [box.astype(np.int32)], (25, 25, 30))
+        n_strokes = max(w // 18, 2)
+        for s in range(n_strokes):
+            t = (s + 0.5) / n_strokes
+            p0 = box[0] * (1 - t) + box[1] * t
+            p1 = box[3] * (1 - t) + box[2] * t
+            p0 = p0 * 0.85 + p1 * 0.15
+            p1 = p1 * 0.85 + p0 * 0.15
+            cv2.line(img, tuple(p0.astype(int)), tuple(p1.astype(int)),
+                     (230, 230, 235), 2)
+        polys.append(box)
+    return img, polys
+
+
+def generate(out_dir: str, n_train: int = 8, n_test: int = 4,
+             size: int = 640, seed: int = 0) -> dict:
+    """Write a TotalText-format dataset under ``out_dir``. Returns the
+    ``data.<name>`` config section pointing at it."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    dirs = {
+        "train_dir": os.path.join(out_dir, "train_images"),
+        "test_dir": os.path.join(out_dir, "test_images"),
+        "train_gt_dir": os.path.join(out_dir, "train_gts"),
+        "test_gt_dir": os.path.join(out_dir, "test_gts"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    def write_split(img_dir, gt_dir, count, offset):
+        for i in range(count):
+            img, polys = _render_sample(rng, size=size)
+            img_id = offset + i
+            cv2.imwrite(os.path.join(img_dir, f"img{img_id}.jpg"), img)
+            lines = []
+            for p in polys:
+                coords = ",".join(f"{v:.1f}" for v in p.reshape(-1))
+                lines.append(f"{coords},word")
+            with open(os.path.join(gt_dir, f"gt_img{img_id}.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+    write_split(dirs["train_dir"], dirs["train_gt_dir"], n_train, 0)
+    write_split(dirs["test_dir"], dirs["test_gt_dir"], n_test, 1000)
+    return {**dirs, "ignore_tags": ["###"]}

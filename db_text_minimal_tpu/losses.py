@@ -1,0 +1,124 @@
+"""DB losses in JAX: OHEM-balanced BCE + dice + masked L1.
+
+TPU-native rebuild of ``src/losses.py``:
+- ``OHEMBalanceCrossEntropyLoss`` (:11-40) — hard-negative mining keeping the
+  top ``negative_ratio × #positives`` negative pixels. Implemented with a
+  sort-based static-shape top-k (dynamic k under jit via rank thresholding —
+  XLA-friendly, no dynamic shapes).
+- ``DiceLoss`` (:43-66), ``L1Loss`` (:69-82), ``DBLoss`` (:85-139) with
+  ``total = alpha·dice(B̂) + ohem_bce(P) + beta·l1(T)`` and the eval-mode
+  2-channel branch returning ``prob_loss + beta·threshold_loss``.
+
+Behavioral-parity note (SURVEY.md §2a #6): the reference computes BCE with
+``reduction='mean'`` *before* masking (``src/losses.py:30-36``, driven by
+``example_config.yaml:73``), which degenerates OHEM into
+``mean_bce · (Σpos + Σtopk(neg)) / (#pos + #neg + eps)`` — the top-k of a
+constant map. ``reduction='mean'`` reproduces that exact math;
+``reduction='none'`` is the correct per-pixel OHEM. Both ship, selected by
+config (``trainer.ohem_compat_mean_reduction``).
+
+All maps are NHW (prob/thresh channels already split by the caller).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bce(pred: jnp.ndarray, gt: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Per-pixel binary cross entropy on probabilities (torch
+    ``binary_cross_entropy`` clamps log to -100; clipping pred achieves the
+    same stability)."""
+    p = jnp.clip(pred, eps, 1.0 - eps)
+    return -(gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p))
+
+
+def ohem_balance_bce(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                     negative_ratio: float = 3.0, eps: float = 1e-6,
+                     reduction: str = "mean") -> jnp.ndarray:
+    """``src/losses.py:11-40``. ``reduction='none'`` = true per-pixel OHEM;
+    ``'mean'`` = the reference's degenerate compat behavior."""
+    positive = gt * mask
+    negative = (1.0 - gt) * mask
+    no_positive = jnp.sum(positive)
+    no_negative = jnp.minimum(no_positive * negative_ratio, jnp.sum(negative))
+
+    if reduction == "mean":
+        # compat: scalar mean BCE, then the (degenerate) balance math
+        loss = jnp.mean(_bce(pred, gt))
+        positive_sum = loss * no_positive
+        negative_sum = loss * no_negative   # top-k of a constant map
+    else:
+        loss = _bce(pred, gt)
+        positive_sum = jnp.sum(loss * positive)
+        # top-k negatives with traced k: sort descending, keep rank < k
+        neg_flat = jnp.ravel(loss * negative)
+        neg_sorted = jnp.sort(neg_flat)[::-1]
+        ranks = jnp.arange(neg_flat.shape[0], dtype=jnp.float32)
+        negative_sum = jnp.sum(jnp.where(ranks < no_negative, neg_sorted, 0.0))
+
+    return (positive_sum + negative_sum) / (no_positive + no_negative + eps)
+
+
+def dice_loss(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+              eps: float = 1e-6) -> jnp.ndarray:
+    """``src/losses.py:43-66``: 1 − 2·∩/∪ under the supervision mask."""
+    intersection = jnp.sum(pred * gt * mask)
+    union = jnp.sum(pred * mask) + jnp.sum(gt * mask) + eps
+    return 1.0 - 2.0 * intersection / union
+
+
+def masked_l1_loss(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                   eps: float = 1e-6) -> jnp.ndarray:
+    """``src/losses.py:69-82``: Σ|pred−gt|·mask / (Σmask + eps)."""
+    return jnp.sum(jnp.abs(pred - gt) * mask) / (jnp.sum(mask) + eps)
+
+
+class DBLossOutput(NamedTuple):
+    """Mirrors the 5-tuple returned by ``DBLoss.forward`` in train mode
+    (``src/losses.py:130-137``)."""
+    prob_loss: jnp.ndarray
+    threshold_loss: jnp.ndarray
+    binary_loss: jnp.ndarray
+    prob_threshold_loss: jnp.ndarray
+    total_loss: jnp.ndarray
+
+
+def db_loss(preds: jnp.ndarray, prob_gt: jnp.ndarray,
+            supervision_mask: jnp.ndarray, thresh_gt: jnp.ndarray,
+            text_area_mask: jnp.ndarray, alpha: float = 1.0,
+            beta: float = 10.0, negative_ratio: float = 3.0,
+            eps: float = 1e-6, reduction: str = "mean") -> DBLossOutput:
+    """``src/losses.py:85-139`` train branch. ``preds`` is NHWC with 3
+    channels (P, T, B̂)."""
+    prob_pred = preds[..., 0]
+    thresh_pred = preds[..., 1]
+    binary_pred = preds[..., 2]
+
+    prob_loss = ohem_balance_bce(prob_pred, prob_gt, supervision_mask,
+                                 negative_ratio, eps, reduction)
+    threshold_loss = masked_l1_loss(thresh_pred, thresh_gt, text_area_mask,
+                                    eps)
+    prob_threshold_loss = prob_loss + beta * threshold_loss
+    binary_loss = dice_loss(binary_pred, prob_gt, supervision_mask, eps)
+    total_loss = alpha * binary_loss + prob_threshold_loss
+    return DBLossOutput(prob_loss, threshold_loss, binary_loss,
+                        prob_threshold_loss, total_loss)
+
+
+def db_loss_eval(preds: jnp.ndarray, prob_gt: jnp.ndarray,
+                 supervision_mask: jnp.ndarray, thresh_gt: jnp.ndarray,
+                 text_area_mask: jnp.ndarray, beta: float = 10.0,
+                 negative_ratio: float = 3.0, eps: float = 1e-6,
+                 reduction: str = "mean") -> jnp.ndarray:
+    """``src/losses.py:138-139`` eval branch (2-channel preds):
+    ``prob_loss + beta·threshold_loss``."""
+    prob_loss = ohem_balance_bce(preds[..., 0], prob_gt, supervision_mask,
+                                 negative_ratio, eps, reduction)
+    threshold_loss = masked_l1_loss(preds[..., 1], thresh_gt, text_area_mask,
+                                    eps)
+    return prob_loss + beta * threshold_loss

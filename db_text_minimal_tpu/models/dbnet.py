@@ -1,0 +1,60 @@
+"""Top-level DBNet detector: backbone → neck → head → full-res output.
+
+TPU-native rebuild of ``src/models.py``: ``DBTextModel`` (:13-48) with the
+registry dicts (:8-10) generalized to every implemented backbone/neck/head.
+The head output is bilinearly upsampled to the input H×W with
+``align_corners=True`` (:43-46) — a no-op at the standard 640×640 training
+resolution where head output already equals input resolution.
+
+Train mode → (N, H, W, 3): prob map, threshold map, approx binary map.
+Eval mode  → (N, H, W, 2): prob map, threshold map.
+(The reference returns NCHW; this framework is NHWC throughout.)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Dtype, resize_bilinear_align_corners
+from .resnet import BACKBONES, BACKBONE_OUT_CHANNELS
+from .fpn import NECKS
+from .head import HEADS
+
+
+class DBTextModel(nn.Module):
+    """backbone_name/neck/head registry mirror of ``src/models.py:8-10``
+    (only resnet18+FPN+DBHead is registered there; all variants here)."""
+
+    backbone_name: str = "resnet18"
+    neck_name: str = "FPN"
+    head_name: str = "DBHead"
+    inner_channels: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1:3]
+        x = x.astype(self.dtype)
+        template = BACKBONES[self.backbone_name](dtype=self.dtype)
+        backbone = type(template)(
+            **{f.name: getattr(template, f.name)
+               for f in template.__dataclass_fields__.values()
+               if f.name not in ("name", "parent")}, name="backbone")
+        neck_cls = NECKS[self.neck_name]
+        if self.neck_name == "FPN":
+            neck = neck_cls(inner_channels=self.inner_channels,
+                            dtype=self.dtype, name="segmentation_body")
+        else:
+            neck = neck_cls(dtype=self.dtype, name="segmentation_body")
+        head = HEADS[self.head_name](dtype=self.dtype,
+                                     name="segmentation_head")
+
+        feats = backbone(x, train=train)
+        body = neck(feats, train=train)
+        y = head(body, train=train)
+        y = resize_bilinear_align_corners(y.astype(jnp.float32), (h, w))
+        return y

@@ -1,0 +1,145 @@
+"""PyTorch → Flax checkpoint porting for DBNet.
+
+Converts a reference ``db_resnet18.pth`` state_dict (``src/train.py:288-318``
+checkpoints; torchvision-style resnet naming per ``src/modules/resnet.py``)
+into this framework's NHWC Flax params + batch stats, so the BASELINE.json
+F-measure-parity configuration can run the original weights on TPU.
+
+Layout conversions:
+- Conv2d weight  OIHW → HWIO
+- ConvTranspose2d weight  (in, out, kh, kw) → (kh, kw, in, out), spatially
+  flipped (torch's ConvTranspose is the conv adjoint; flax's
+  ``transpose_kernel=False`` path is a true fractionally-strided conv)
+- BatchNorm weight/bias → scale/bias; running_mean/var → batch_stats
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _conv_w(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _deconv_w(w) -> np.ndarray:
+    # torch (in, out, kh, kw) -> flax (kh, kw, in, out), spatial flip
+    w = np.asarray(w)[:, :, ::-1, ::-1]
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+_LAYER_RE = re.compile(r"^layer(\d+)\.(\d+)\.(.*)$")
+
+
+def _map_backbone(rest: str) -> list[str] | None:
+    m = _LAYER_RE.match(rest)
+    if m:
+        stage, block, tail = m.group(1), m.group(2), m.group(3)
+        prefix = [f"layer{stage}_{block}"]
+        if tail.startswith("downsample.0."):
+            return prefix + ["downsample_conv", tail.split(".")[-1]]
+        if tail.startswith("downsample.1."):
+            return prefix + ["downsample_bn", tail.split(".")[-1]]
+        parts = tail.split(".")
+        return prefix + parts
+    parts = rest.split(".")
+    if parts[0] in ("conv1", "bn1"):
+        return parts
+    return None  # avgpool/fc/smooth: unused by the forward pass
+
+
+_HEAD_SEQ = {
+    # nn.Sequential indices of both DBHead branches
+    # (src/modules/segmentation_head.py:24-29, 58-78)
+    "0": "conv1", "1": "bn1", "3": "deconv1", "4": "bn2", "6": "deconv2",
+}
+
+
+def torch_state_dict_to_flax(state_dict: Mapping[str, Any],
+                             strict: bool = False):
+    """Returns (params, batch_stats) pytrees matching ``DBTextModel``."""
+    params: dict = {}
+    stats: dict = {}
+    skipped = []
+    for name, value in state_dict.items():
+        value = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        if name.startswith("module."):  # DataParallel shim, test_ocr.py:28-37
+            name = name[len("module."):]
+        if name.endswith("num_batches_tracked"):
+            continue
+        top, _, rest = name.partition(".")
+        path: list[str] | None = None
+        is_deconv = False
+        if top == "backbone":
+            mapped = _map_backbone(rest)
+            if mapped is None:
+                skipped.append(name)
+                continue
+            path = ["backbone"] + mapped
+        elif top == "segmentation_body":
+            parts = rest.split(".")
+            if parts[0] == "conv":
+                # final Sequential: conv.0 = Conv2d, conv.1 = BatchNorm2d
+                if parts[1] == "0":
+                    path = ["segmentation_body", "conv", parts[2]]
+                elif parts[1] == "1":
+                    path = ["segmentation_body", "conv_bn", parts[2]]
+                else:
+                    skipped.append(name)
+                    continue
+            else:
+                # reduce_conv_cX / smooth_pX -> ConvBnRelu {conv,bn}
+                path = ["segmentation_body"] + parts
+        elif top == "segmentation_head":
+            parts = rest.split(".")
+            branch, idx, leaf = parts[0], parts[1], parts[2]
+            layer = _HEAD_SEQ.get(idx)
+            if layer is None:
+                skipped.append(name)
+                continue
+            is_deconv = layer.startswith("deconv")
+            path = ["segmentation_head", branch, layer, leaf]
+        else:
+            skipped.append(name)
+            continue
+
+        leaf = path[-1]
+        if leaf == "weight":
+            if value.ndim == 4:
+                value = _deconv_w(value) if is_deconv else _conv_w(value)
+                _set(params, path[:-1] + ["kernel"], value)
+            else:  # batch-norm scale
+                _set(params, path[:-1] + ["scale"], value)
+        elif leaf == "bias":
+            _set(params, path[:-1] + ["bias"], value)
+        elif leaf == "running_mean":
+            _set(stats, path[:-1] + ["mean"], value)
+        elif leaf == "running_var":
+            _set(stats, path[:-1] + ["var"], value)
+        else:
+            skipped.append(name)
+
+    if strict and skipped:
+        raise ValueError(f"unmapped torch keys: {skipped}")
+    return params, stats
+
+
+def load_torch_checkpoint(path: str):
+    """Load a ``.pth`` state_dict and convert. Requires torch (CPU)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(sd, dict):
+        sd = sd.state_dict()
+    return torch_state_dict_to_flax(sd)

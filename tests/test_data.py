@@ -1,0 +1,231 @@
+"""Data pipeline tests: parser formats (tiny synthetic gt files per format,
+SURVEY.md §4 plan (a)), GT map generation, thresh-map parity with the
+reference formula, loader sharding, and the synthetic dataset end to end."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from db_text_minimal_tpu.data import parsers, make_gt_maps, DataLoader
+from db_text_minimal_tpu.data.labels import draw_thresh_map, shrink_polygon
+from db_text_minimal_tpu.data.synthetic import generate
+from db_text_minimal_tpu.data.datasets import TotalTextDataset
+
+REFERENCE = "/root/reference/src"
+
+
+# --------------------------------------------------------------------------
+# parsers
+# --------------------------------------------------------------------------
+
+def _write(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def test_totaltext_parser(tmp_path):
+    img_dir = tmp_path / "imgs"
+    gt_dir = tmp_path / "gts"
+    img_dir.mkdir()
+    gt_dir.mkdir()
+    (img_dir / "img12.jpg").touch()
+    _write(gt_dir / "gt_img12.txt",
+           "10,20,110,20,110,60,10,60,hello\n1,1,2,2,#\n")
+    fps, anns = parsers.load_totaltext(str(img_dir), str(gt_dir))
+    assert len(fps) == 1
+    assert len(anns[0]) == 1  # 2-point line dropped (< 3 points)
+    assert anns[0][0]["text"] == "hello"
+    assert anns[0][0]["poly"] == [[10, 20], [110, 20], [110, 60], [10, 60]]
+
+
+def test_ctw1500_parser(tmp_path):
+    img_dir = tmp_path / "imgs"
+    gt_dir = tmp_path / "gts"
+    img_dir.mkdir()
+    gt_dir.mkdir()
+    (img_dir / "0001.jpg").touch()
+    offsets = ",".join(str(v) for v in range(28))
+    _write(gt_dir / "0001.txt", f"100,200,50,30,{offsets}\n")
+    fps, anns = parsers.load_ctw1500(str(img_dir), str(gt_dir))
+    poly = np.array(anns[0][0]["poly"])
+    assert poly.shape == (14, 2)
+    # offsets are relative to (x1, y1) = (100, 200)
+    assert poly[0].tolist() == [100, 201]
+    assert poly[1].tolist() == [102, 203]
+
+
+def test_icdar2015_parser(tmp_path):
+    img_dir = tmp_path / "imgs"
+    gt_dir = tmp_path / "gts"
+    img_dir.mkdir()
+    gt_dir.mkdir()
+    (img_dir / "im_1.png").touch()
+    _write(gt_dir / "gt_im_1.txt",
+           "0,0,10,0,10,10,0,10,word,with,commas\n5,5,9,5,9,9,5,9,###\n")
+    fps, anns = parsers.load_icdar2015(str(img_dir), str(gt_dir))
+    assert anns[0][0]["text"] == "word,with,commas"
+    assert anns[0][1]["text"] == "###"
+    assert np.array(anns[0][0]["poly"]).shape == (4, 2)
+
+
+def test_msra_td500_parser(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    (img_dir / "IMG_001.JPG").touch()
+    # idx dif x y w h theta ; second line difficult -> skipped
+    _write(img_dir / "IMG_001.gt",
+           "0 0 100 50 80 40 0.0\n1 1 10 10 20 20 0.5\n")
+    fps, anns = parsers.load_msra_td500(str(img_dir))
+    assert len(anns[0]) == 1
+    poly = np.array(anns[0][0]["poly"])
+    assert poly.shape == (4, 2)
+    np.testing.assert_array_equal(
+        poly, [[100, 50], [180, 50], [180, 90], [100, 90]])  # θ=0 no rotation
+
+
+def test_msra_rotation():
+    # 90° rotation of a wide rect about its center swaps extents
+    fps = parsers._rotate_points(
+        [(0, 0), (40, 0), (40, 20), (0, 20)], (20, 10), np.pi / 2)
+    arr = np.array(fps)
+    assert arr[:, 0].max() - arr[:, 0].min() == pytest.approx(20, abs=1)
+    assert arr[:, 1].max() - arr[:, 1].min() == pytest.approx(40, abs=1)
+
+
+# --------------------------------------------------------------------------
+# label generation
+# --------------------------------------------------------------------------
+
+def test_make_gt_maps_basic():
+    anns = [{"poly": [[100, 100], [300, 100], [300, 180], [100, 180]],
+             "text": "word"},
+            {"poly": [[10, 10], [14, 10], [14, 14], [10, 14]],
+             "text": "tiny"},           # < min_text_size -> ignored
+            {"poly": [[400, 400], [500, 400], [500, 450], [400, 450]],
+             "text": "###"}]            # ignore tag
+    gt, mask, thresh, tmask, flags = make_gt_maps(anns, 640, ["###"])
+    assert flags == [False, True, True]
+    assert gt.shape == (640, 640)
+    # shrunk region strictly inside the polygon
+    assert gt[140, 200] == 1.0
+    assert gt[101, 101] == 0.0
+    # ignored polys zero the supervision mask
+    assert mask[12, 12] == 0.0
+    assert mask[420, 450] == 0.0
+    assert mask[140, 200] == 1.0
+    # thresh map peaks near the polygon border, in [0.3, 0.7]
+    assert thresh.min() == pytest.approx(0.3, abs=1e-6)
+    assert thresh.max() <= 0.7 + 1e-6
+    assert thresh[100, 200] > 0.65        # on the border
+    # text area mask covers dilated polygon band
+    assert tmask[100, 200] == 1.0
+    assert tmask[12, 12] == 0.0           # ignored -> no thresh supervision
+
+
+def test_shrink_polygon_eq6():
+    poly = np.array([[0, 0], [200, 0], [200, 80], [0, 80]], float)
+    shr = shrink_polygon(poly, 0.4)
+    assert shr is not None
+    d = (200 * 80) * (1 - 0.16) / 560
+    width = shr[:, 0].max() - shr[:, 0].min()
+    assert width == pytest.approx(200 - 2 * d, abs=2)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference checkout not available")
+def test_draw_thresh_map_matches_reference_formula():
+    """Full draw_thresh_map vs a numpy reimplementation of the reference
+    using OUR offset for the dilation (isolates the distance-field and
+    canvas-fusion math; the offset itself is covered by geometry tests)."""
+    from db_text_minimal_tpu.ops import geometry as geo
+
+    poly = [[50, 40], [150, 45], [148, 90], [52, 88]]
+    canvas = np.zeros((200, 200), np.float32)
+    mask = np.zeros((200, 200), np.float32)
+    draw_thresh_map(poly, canvas, mask, shrink_ratio=0.4)
+
+    polygon = np.array(poly, float)
+    area, length = geo.polygon_area(polygon), geo.polygon_perimeter(polygon)
+    distance = area * (1 - 0.4 ** 2) / length
+    padded = np.asarray(geo.offset_polygon(polygon, distance)[0], float)
+    xmin, xmax = int(padded[:, 0].min()), int(padded[:, 0].max())
+    ymin, ymax = int(padded[:, 1].min()), int(padded[:, 1].max())
+    h, w = ymax - ymin + 1, xmax - xmin + 1
+    shifted = polygon - [xmin, ymin]
+    xs = np.broadcast_to(np.arange(w, dtype=float)[None, :], (h, w))
+    ys = np.broadcast_to(np.arange(h, dtype=float)[:, None], (h, w))
+
+    def compute_distance(p1, p2):
+        sq1 = (xs - p1[0]) ** 2 + (ys - p1[1]) ** 2
+        sq2 = (xs - p2[0]) ** 2 + (ys - p2[1]) ** 2
+        sq = (p1[0] - p2[0]) ** 2 + (p1[1] - p2[1]) ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cosin = (sq - sq1 - sq2) / (2 * np.sqrt(sq1 * sq2))
+            ssin = np.nan_to_num(1 - cosin ** 2)
+            res = np.sqrt(sq1 * sq2 * ssin / sq)
+        res[cosin < 0] = np.sqrt(np.fmin(sq1, sq2))[cosin < 0]
+        return res
+
+    dm = np.min([np.clip(compute_distance(shifted[i],
+                                          shifted[(i + 1) % 4]) / distance,
+                         0, 1) for i in range(4)], axis=0)
+    expected = np.zeros((200, 200), np.float32)
+    expected[ymin:ymax + 1, xmin:xmax + 1] = 1 - dm
+    np.testing.assert_allclose(canvas, np.fmax(expected, 0), atol=1e-5)
+    assert mask[ymin + h // 2, xmin + w // 2] == 1.0
+
+
+# --------------------------------------------------------------------------
+# loader + synthetic end to end
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    generate(str(d), n_train=6, n_test=2, seed=0)
+    return str(d)
+
+
+def test_synthetic_dataset_end_to_end(synth_dir):
+    ds = TotalTextDataset(os.path.join(synth_dir, "train_images"),
+                          os.path.join(synth_dir, "train_gts"),
+                          ignore_tags=["###"], is_training=True)
+    assert len(ds) == 6
+    sample = ds[0]
+    assert sample["img"].shape == (640, 640, 3)
+    assert sample["img"].dtype == np.float32
+    assert sample["prob_map"].shape == (640, 640)
+    assert sample["prob_map"].max() == 1.0         # at least one valid word
+    assert 0.3 - 1e-6 <= sample["thresh_map"].min()
+    assert sample["thresh_map"].max() <= 0.7 + 1e-6
+
+
+def test_eval_mode_carries_anns(synth_dir):
+    ds = TotalTextDataset(os.path.join(synth_dir, "test_images"),
+                          os.path.join(synth_dir, "test_gts"),
+                          ignore_tags=["###"], is_training=False)
+    sample = ds[0]
+    assert "anns" in sample and "ignore_tags" in sample
+    assert len(sample["anns"]) == len(sample["ignore_tags"])
+
+
+def test_loader_sharding_and_batching(synth_dir):
+    ds = TotalTextDataset(os.path.join(synth_dir, "train_images"),
+                          os.path.join(synth_dir, "train_gts"),
+                          ignore_tags=["###"], is_training=True)
+    shards = []
+    for host in range(2):
+        loader = DataLoader(ds, batch_size=1, shuffle=True, seed=7,
+                            num_hosts=2, host_id=host, prefetch=0)
+        shards.append([b["image_path"][0] for b in loader])
+    # disjoint coverage of the epoch permutation
+    assert not (set(shards[0]) & set(shards[1]))
+    assert len(shards[0]) + len(shards[1]) == 6
+
+    loader = DataLoader(ds, batch_size=2, shuffle=True, seed=7)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["img"].shape == (2, 640, 640, 3)
+    assert batches[0]["prob_map"].shape == (2, 640, 640)
