@@ -29,8 +29,8 @@ def _render_sample(rng: np.random.RandomState, size: int = 640,
     tries = 0
     while len(polys) < n_words and tries < 50:
         tries += 1
-        w = rng.randint(80, 220)
-        h = rng.randint(24, 60)
+        w = rng.randint(max(size // 8, 24), max(size // 3, 48))
+        h = rng.randint(max(size // 26, 12), max(size // 11, 24))
         x = rng.randint(0, size - w - 1)
         y = rng.randint(0, size - h - 1)
         box = np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]],

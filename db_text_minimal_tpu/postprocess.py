@@ -1,0 +1,166 @@
+"""Post-processing: probability maps → text polygons / rotated boxes.
+
+TPU-native rebuild of ``src/postprocess.py``'s ``SegDetectorRepresenter``
+(:7-198). The device side binarizes the prob map under jit; the host side
+finishes with the first-party geometry library (contours, Douglas–Peucker,
+unclip offsetting, rotating-calipers min-rect) — the same device/host split
+the reference effectively had (D2H at ``src/postprocess.py:61-62``, then
+cv2/pyclipper on CPU), but with all geometry first-party.
+
+Defaults mirror the reference (:8-17): thresh 0.3, box_thresh 0.7,
+max_candidates 1000, unclip_ratio 1.5, min_size 3.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+from .ops import geometry as geo
+
+
+def order_rect_points(corners: np.ndarray):
+    """Clockwise-from-top-left corner ordering of 4 rect points
+    (``get_mini_boxes``, ``src/postprocess.py:158-184``)."""
+    points = sorted(corners.tolist(), key=lambda x: x[0])
+    if points[1][1] > points[0][1]:
+        i1, i4 = 0, 1
+    else:
+        i1, i4 = 1, 0
+    if points[3][1] > points[2][1]:
+        i2, i3 = 2, 3
+    else:
+        i2, i3 = 3, 2
+    return [points[i1], points[i2], points[i3], points[i4]]
+
+
+class SegDetectorRepresenter:
+    """``src/postprocess.py:7-49``."""
+
+    def __init__(self, thresh=0.3, box_thresh=0.7, max_candidates=1000,
+                 unclip_ratio=1.5):
+        self.min_size = 3
+        self.thresh = thresh
+        self.box_thresh = box_thresh
+        self.max_candidates = max_candidates
+        self.unclip_ratio = unclip_ratio
+
+    def __call__(self, batch: dict, pred, is_output_polygon: bool = False):
+        """``pred``: NHWC (N, H, W, C) with channel 0 the prob map (only
+        channel 0 is consumed, ``src/postprocess.py:33``); ``batch['shape']``
+        lists the original (H, W) per image."""
+        pred = np.asarray(pred)[..., 0]
+        segmentation = self.binarize(pred)
+        boxes_batch, scores_batch = [], []
+        for batch_index in range(pred.shape[0]):
+            height, width = batch["shape"][batch_index]
+            if is_output_polygon:
+                boxes, scores = self.polygons_from_bitmap(
+                    pred[batch_index], segmentation[batch_index], width,
+                    height)
+            else:
+                boxes, scores = self.boxes_from_bitmap(
+                    pred[batch_index], segmentation[batch_index], width,
+                    height)
+            boxes_batch.append(boxes)
+            scores_batch.append(scores)
+        return boxes_batch, scores_batch
+
+    def binarize(self, pred: np.ndarray) -> np.ndarray:
+        """``src/postprocess.py:51`` (P > thresh)."""
+        return pred > self.thresh
+
+    def polygons_from_bitmap(self, pred, bitmap, dest_width, dest_height):
+        """``src/postprocess.py:54-104``."""
+        assert bitmap.ndim == 2
+        height, width = bitmap.shape
+        boxes, scores = [], []
+
+        contours = geo.find_contours(bitmap.astype(np.uint8))
+        for contour in contours[:self.max_candidates]:
+            contour = np.asarray(contour, dtype=np.float64)
+            epsilon = 0.005 * geo.polygon_perimeter(contour)
+            points = geo.approx_poly_dp(contour, epsilon)
+            if points.shape[0] < 4:
+                continue
+            score = self.box_score_fast(pred, contour)
+            if self.box_thresh > score:
+                continue
+            expanded = self.unclip(points, unclip_ratio=self.unclip_ratio)
+            if len(expanded) != 1:
+                continue
+            box = np.asarray(expanded[0], dtype=np.float64).reshape(-1, 2)
+            _, (w, h) = geo.min_area_rect(box)
+            if min(w, h) < self.min_size + 2:
+                continue
+            box[:, 0] = np.clip(np.round(box[:, 0] / width * dest_width), 0,
+                                dest_width)
+            box[:, 1] = np.clip(np.round(box[:, 1] / height * dest_height), 0,
+                                dest_height)
+            boxes.append(box.astype(np.int64))
+            scores.append(score)
+        return boxes, scores
+
+    def boxes_from_bitmap(self, pred, bitmap, dest_width, dest_height):
+        """``src/postprocess.py:106-148``."""
+        assert bitmap.ndim == 2
+        height, width = bitmap.shape
+        contours = geo.find_contours(bitmap.astype(np.uint8))
+        num_contours = min(len(contours), self.max_candidates)
+        boxes = np.zeros((num_contours, 4, 2), dtype=np.int16)
+        scores = np.zeros((num_contours,), dtype=np.float32)
+
+        for index in range(num_contours):
+            contour = np.asarray(contours[index], dtype=np.float64)
+            corners, (w, h) = geo.min_area_rect(contour)
+            if min(w, h) < self.min_size:
+                continue
+            points = np.array(order_rect_points(corners))
+            score = self.box_score_fast(pred, contour)
+            if self.box_thresh > score:
+                continue
+            expanded = self.unclip(points, unclip_ratio=self.unclip_ratio)
+            if not expanded:
+                continue
+            box_poly = np.asarray(expanded[0], dtype=np.float64)
+            corners2, (w2, h2) = geo.min_area_rect(box_poly)
+            if min(w2, h2) < self.min_size + 2:
+                continue
+            box = np.array(order_rect_points(corners2))
+            box[:, 0] = np.clip(np.round(box[:, 0] / width * dest_width), 0,
+                                dest_width)
+            box[:, 1] = np.clip(np.round(box[:, 1] / height * dest_height), 0,
+                                dest_height)
+            boxes[index, :, :] = box.astype(np.int16)
+            scores[index] = score
+        return boxes, scores
+
+    def unclip(self, box, unclip_ratio: float = 1.5):
+        """``src/postprocess.py:150-156``: dilate by d = A·ratio/L."""
+        box = np.asarray(box, dtype=np.float64)
+        area = geo.polygon_area(box)
+        length = geo.polygon_perimeter(box)
+        if length <= 0:
+            return []
+        distance = area * unclip_ratio / length
+        return geo.offset_polygon(box, distance)
+
+    def box_score_fast(self, bitmap: np.ndarray, box: np.ndarray) -> float:
+        """Mean prob inside the contour's filled polygon within its bbox
+        (``src/postprocess.py:186-198``)."""
+        h, w = bitmap.shape[:2]
+        box = np.asarray(box, dtype=np.float64).copy()
+        xmin = int(np.clip(np.floor(box[:, 0].min()), 0, w - 1))
+        xmax = int(np.clip(np.ceil(box[:, 0].max()), 0, w - 1))
+        ymin = int(np.clip(np.floor(box[:, 1].min()), 0, h - 1))
+        ymax = int(np.clip(np.ceil(box[:, 1].max()), 0, h - 1))
+        mask = np.zeros((ymax - ymin + 1, xmax - xmin + 1), dtype=np.float32)
+        box[:, 0] -= xmin
+        box[:, 1] -= ymin
+        geo.fill_poly(mask, box, 1.0)
+        denom = mask.sum()
+        if denom == 0:
+            return 0.0
+        window = bitmap[ymin:ymax + 1, xmin:xmax + 1]
+        return float((window * mask).sum() / denom)

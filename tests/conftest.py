@@ -4,11 +4,22 @@ test plan item (d)). Must run before the first ``import jax``."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the surrounding environment pins JAX_PLATFORMS to the real
+# TPU ('axon'); tests always run on the virtual CPU mesh. A pytest plugin
+# imports jax before this conftest, so setting env vars alone is not enough —
+# jax.config still works because the backend is not initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, (
+    "tests require the 8-device virtual CPU mesh; got "
+    f"{jax.devices()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,208 @@
+"""Postprocess + metrics tests: synthetic prob-map round trips, evaluator
+semantics on constructed match scenarios (golden cases from the protocol
+definitions), and RunningScore math."""
+
+import numpy as np
+import pytest
+
+from db_text_minimal_tpu.ops import geometry as geo
+from db_text_minimal_tpu.postprocess import SegDetectorRepresenter
+from db_text_minimal_tpu.metrics import (AverageMeter,
+                                         DetectionDetEvalEvaluator,
+                                         DetectionIoUEvaluator, QuadMetric,
+                                         RunningScore, cal_text_score,
+                                         polygon_iou)
+
+
+def _prob_map_with_boxes(boxes, size=160, hi=0.9):
+    """Synthesize a prob map resembling a DB shrink-map prediction."""
+    pred = np.full((size, size), 0.05, np.float32)
+    for box in boxes:
+        geo.fill_poly(pred, np.asarray(box, np.float64), hi)
+    return pred
+
+
+BOXES = [
+    [(20, 30), (80, 30), (80, 55), (20, 55)],
+    [(100, 90), (150, 95), (148, 120), (98, 115)],
+]
+
+
+def test_polygons_from_bitmap_roundtrip():
+    pred = _prob_map_with_boxes(BOXES)
+    rep = SegDetectorRepresenter(thresh=0.3, box_thresh=0.5)
+    batch = {"shape": [(160, 160)]}
+    boxes_batch, scores_batch = rep(batch, pred[None, :, :, None],
+                                    is_output_polygon=True)
+    boxes, scores = boxes_batch[0], scores_batch[0]
+    assert len(boxes) == 2
+    assert all(s > 0.8 for s in scores)
+    # each detected polygon contains its source box (unclip only dilates)
+    for src in BOXES:
+        src_area = geo.polygon_area(src)
+        best = max(geo.intersection_area(src, b) / src_area for b in boxes)
+        assert best > 0.95
+
+
+def test_boxes_from_bitmap_rect_mode():
+    pred = _prob_map_with_boxes(BOXES)
+    rep = SegDetectorRepresenter(thresh=0.3, box_thresh=0.5)
+    boxes_batch, scores_batch = rep({"shape": [(160, 160)]},
+                                    pred[None, :, :, None],
+                                    is_output_polygon=False)
+    boxes = boxes_batch[0]
+    kept = boxes[np.abs(boxes).sum(axis=(1, 2)) > 0]
+    assert kept.shape[1:] == (4, 2)
+    assert len(kept) == 2
+
+
+def test_postprocess_scales_to_dest_size():
+    pred = _prob_map_with_boxes(BOXES)
+    rep = SegDetectorRepresenter(thresh=0.3, box_thresh=0.5)
+    boxes_batch, _ = rep({"shape": [(320, 320)]}, pred[None, :, :, None],
+                         is_output_polygon=True)
+    all_pts = np.concatenate(boxes_batch[0])
+    assert all_pts.max() > 160  # coordinates rescaled to 320-space
+
+
+def test_low_score_regions_rejected():
+    pred = _prob_map_with_boxes(BOXES, hi=0.4)  # below box_thresh
+    rep = SegDetectorRepresenter(thresh=0.3, box_thresh=0.7)
+    boxes_batch, _ = rep({"shape": [(160, 160)]}, pred[None, :, :, None],
+                         is_output_polygon=True)
+    assert len(boxes_batch[0]) == 0
+
+
+# ---------------------------------------------------------------------------
+# IoU evaluator (protocol golden cases from src/iou.py:248-273 doc examples)
+# ---------------------------------------------------------------------------
+
+UNIT = [(0, 0), (1, 0), (1, 1), (0, 1)]
+
+
+def test_iou_evaluator_doc_example():
+    gts = [{"points": UNIT, "ignore": False},
+           {"points": [(2, 2), (3, 2), (3, 3), (2, 3)], "ignore": True}]
+    preds = [{"points": [(0.1, 0.1), (1, 0), (1, 1), (0, 1)],
+              "ignore": False}]
+    ev = DetectionIoUEvaluator()
+    r = ev.evaluate_image(gts, preds)
+    assert r["detMatched"] == 1
+    assert r["gtCare"] == 1 and r["detCare"] == 1
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+    combined = ev.combine_results([r])
+    assert combined["hmean"] == 1.0
+
+
+def test_iou_dont_care_pred_filtered():
+    gts = [{"points": UNIT, "ignore": True}]
+    preds = [{"points": [(0, 0), (1, 0), (1, 1), (0, 1)], "ignore": False}]
+    r = DetectionIoUEvaluator().evaluate_image(gts, preds)
+    # pred overlaps ignored GT -> dropped from detCare; empty-care image
+    assert r["detCare"] == 0 and r["gtCare"] == 0
+    assert r["recall"] == 1.0 and r["precision"] == 1.0
+
+
+def test_iou_below_threshold_no_match():
+    gts = [{"points": UNIT, "ignore": False}]
+    preds = [{"points": [(0.8, 0.8), (1.8, 0.8), (1.8, 1.8), (0.8, 1.8)],
+              "ignore": False}]
+    r = DetectionIoUEvaluator(iou_constraint=0.5).evaluate_image(gts, preds)
+    assert r["detMatched"] == 0
+    assert r["precision"] == 0.0 and r["recall"] == 0.0
+
+
+def test_polygon_iou_value():
+    a = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    b = [(1, 1), (3, 1), (3, 3), (1, 3)]
+    assert polygon_iou(a, b) == pytest.approx(1.0 / 7.0, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# DetEval evaluator
+# ---------------------------------------------------------------------------
+
+def _sq(x, y, w, h):
+    return [(x, y), (x + w, y), (x + w, y + h), (x, y + h)]
+
+
+def test_deteval_one_to_one():
+    gts = [{"points": _sq(0, 0, 10, 10), "ignore": False}]
+    preds = [{"points": _sq(0.5, 0.5, 10, 10), "ignore": False}]
+    ev = DetectionDetEvalEvaluator()
+    r = ev.evaluate_image(gts, preds)
+    assert r["recallAccum"] == 1.0 and r["precisionAccum"] == 1.0
+    assert r["pairs"][0]["type"] == "OO"
+
+
+def test_deteval_one_to_many_split():
+    # one GT word detected as two half boxes: recall 0.8 credit
+    gts = [{"points": _sq(0, 0, 20, 10), "ignore": False}]
+    preds = [{"points": _sq(0, 0, 10, 10), "ignore": False},
+             {"points": _sq(10, 0, 10, 10), "ignore": False}]
+    r = DetectionDetEvalEvaluator().evaluate_image(gts, preds)
+    om = [p for p in r["pairs"] if p["type"] == "OM"]
+    assert len(om) == 1
+    assert r["recallAccum"] == pytest.approx(0.8)
+    assert r["precisionAccum"] == pytest.approx(1.6)  # 0.8 × 2 dets
+
+
+def test_deteval_many_to_one_merge():
+    # two GT words covered by one large det box
+    gts = [{"points": _sq(0, 0, 10, 10), "ignore": False},
+           {"points": _sq(12, 0, 10, 10), "ignore": False}]
+    preds = [{"points": _sq(0, 0, 22, 10), "ignore": False}]
+    r = DetectionDetEvalEvaluator().evaluate_image(gts, preds)
+    mo = [p for p in r["pairs"] if p["type"] == "MO"]
+    assert len(mo) == 1
+    assert r["recallAccum"] == pytest.approx(2.0)   # 1.0 × 2 gts
+    assert r["precisionAccum"] == pytest.approx(1.0)
+
+
+def test_deteval_combine():
+    ev = DetectionDetEvalEvaluator()
+    gts = [{"points": _sq(0, 0, 10, 10), "ignore": False}]
+    preds = [{"points": _sq(0, 0, 10, 10), "ignore": False}]
+    r1 = ev.evaluate_image(gts, preds)
+    r2 = ev.evaluate_image(gts, [])
+    combined = ev.combine_results([r1, r2])
+    assert combined["recall"] == pytest.approx(0.5)
+    assert combined["precision"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# pixel metrics + QuadMetric
+# ---------------------------------------------------------------------------
+
+def test_running_score_perfect_prediction():
+    rs = RunningScore(2)
+    labels = np.array([[0, 1], [1, 0]])
+    rs.update([labels], [labels])
+    scores, _ = rs.get_scores()
+    assert scores["Overall Acc"] == pytest.approx(1.0, abs=1e-3)
+    assert scores["Mean IoU"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_cal_text_score():
+    rs = RunningScore(2)
+    pred = np.array([[[0.9, 0.1], [0.8, 0.2]]])
+    gt = np.array([[[1.0, 0.0], [1.0, 0.0]]])
+    mask = np.ones_like(gt)
+    scores = cal_text_score(pred, gt, mask, rs, thresh=0.5)
+    assert scores["Overall Acc"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_quad_metric_end_to_end():
+    metric = QuadMetric()
+    batch = {"anns": [[_sq(10, 10, 50, 20)]], "ignore_tags": [[False]]}
+    output = ([[np.array(_sq(11, 11, 50, 20))]], [[0.95]])
+    raw = metric.validate_measure(batch, output)
+    gathered = metric.gather_measure([raw])
+    assert gathered["fmeasure"].avg == pytest.approx(1.0, rel=1e-3)
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0, n=2)
+    m.update(4.0, n=1)
+    assert m.avg == pytest.approx(2.0)

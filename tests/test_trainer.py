@@ -1,0 +1,135 @@
+"""Trainer integration tests (SURVEY.md §4 plan (c)+(d)): short training on
+the synthetic dataset with loss decrease, checkpoint round trips, and the
+data-parallel path on the virtual 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from db_text_minimal_tpu.config import load_config
+from db_text_minimal_tpu.data import DataLoader, TotalTextDataset
+from db_text_minimal_tpu.data.synthetic import generate
+from db_text_minimal_tpu.parallel import create_mesh, shard_batch
+from db_text_minimal_tpu.train import Trainer, save_checkpoint, \
+    restore_checkpoint
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth_train")
+    section = generate(str(d), n_train=4, n_test=2, size=128, seed=1)
+    return d, section
+
+
+def _small_cfg(tmp_path, section, img_size=128, batch_size=2, **over):
+    return load_config(overrides={
+        "meta": {"root_dir": str(tmp_path)},
+        "hps": {"img_size": img_size, "batch_size": batch_size,
+                "test_batch_size": 1, "no_epochs": 1, "log_iter": 1},
+        "data": {"synthetic": section},
+        "dataset": {"name": "synthetic"},
+        "model": {"best_cp_path": "models/best.ckpt",
+                  "last_cp_path": "models/last.ckpt",
+                  "best_hmean_cp_path": "models/best_hmean.ckpt"},
+        "logging": {"logger_file": None},
+        **over,
+    })
+
+
+def _loaders(d, cfg):
+    train_ds = TotalTextDataset(os.path.join(d, "train_images"),
+                                os.path.join(d, "train_gts"), ["###"],
+                                is_training=True,
+                                image_size=int(cfg.hps.img_size))
+    test_ds = TotalTextDataset(os.path.join(d, "test_images"),
+                               os.path.join(d, "test_gts"), ["###"],
+                               is_training=False,
+                               image_size=int(cfg.hps.img_size))
+    return (DataLoader(train_ds, int(cfg.hps.batch_size), shuffle=True,
+                       prefetch=0),
+            DataLoader(test_ds, 1, prefetch=0))
+
+
+def test_loss_decreases_on_tiny_dataset(synth, tmp_path):
+    d, section = synth
+    cfg = _small_cfg(tmp_path, section)
+    train_loader, test_loader = _loaders(str(d), cfg)
+    trainer = Trainer(cfg, train_loader, test_loader)
+    state = trainer.init_state(image_size=128, batch_size=2)
+
+    losses = []
+    for epoch in range(4):
+        state, mean_loss, running, _ = trainer.train_epoch(state, epoch)
+        losses.append(mean_loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+    # eval path end to end: loss + pixel metrics + box P/R/F
+    test_loss, running, recall, precision, hmean = trainer.eval_epoch(state)
+    assert np.isfinite(test_loss)
+    assert 0.0 <= hmean <= 1.0
+
+
+def test_fit_saves_three_checkpoints(synth, tmp_path):
+    d, section = synth
+    cfg = _small_cfg(tmp_path, section)
+    train_loader, test_loader = _loaders(str(d), cfg)
+    trainer = Trainer(cfg, train_loader, test_loader)
+    state, history = trainer.fit(no_epochs=1)
+    assert len(history) == 1
+    assert os.path.exists(tmp_path / "models" / "last.ckpt")
+    assert os.path.exists(tmp_path / "models" / "best_hmean.ckpt")
+    assert os.path.exists(tmp_path / "models" / "best.ckpt")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "step": np.int32(7)}
+    path = str(tmp_path / "cp.ckpt")
+    save_checkpoint(path, tree, {"note": "test"})
+    zero = jax.tree.map(np.zeros_like, tree)
+    restored = restore_checkpoint(path, zero)
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  tree["params"]["w"])
+    assert restored["step"] == 7
+    assert os.path.exists(path + ".json")
+
+
+def test_data_parallel_8_device_mesh(synth, tmp_path):
+    """Train step over all 8 virtual CPU devices: batch sharded on 'data',
+    params replicated, XLA inserts the gradient psum."""
+    d, section = synth
+    assert len(jax.devices()) == 8
+    cfg = _small_cfg(tmp_path, section, batch_size=8)
+    train_loader, test_loader = _loaders(str(d), cfg)
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    trainer = Trainer(cfg, train_loader, test_loader, mesh=mesh)
+    state = trainer.init_state(image_size=128, batch_size=8)
+
+    ds = train_loader.dataset
+    batch = {
+        "img": np.stack([ds[i % len(ds)]["img"] for i in range(8)]),
+        "prob_map": np.stack([ds[i % len(ds)]["prob_map"]
+                              for i in range(8)]),
+        "supervision_mask": np.stack(
+            [ds[i % len(ds)]["supervision_mask"] for i in range(8)]),
+        "thresh_map": np.stack([ds[i % len(ds)]["thresh_map"]
+                                for i in range(8)]),
+        "text_area_map": np.stack([ds[i % len(ds)]["text_area_map"]
+                                   for i in range(8)]),
+    }
+    device_batch = shard_batch(batch, mesh)
+    # the batch really is split across devices
+    assert len(device_batch["img"].sharding.device_set) == 8
+    state2, loss_out, hist, preds = trainer._train_step(
+        state, device_batch, jnp.float32(1e-3))
+    assert np.isfinite(float(loss_out.total_loss))
+    assert preds.shape == (8, 128, 128, 3)
+    # params stay replicated after the update
+    leaf = jax.tree.leaves(state2.params)[0]
+    assert len(leaf.sharding.device_set) == 8
