@@ -1,0 +1,75 @@
+"""Benchmark: 640×640 DBNet inference throughput on the local accelerator.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+
+Baseline: the BASELINE.json north-star target of ≥1000 images/sec on a
+v5e-8 slice = 125 images/sec/chip; ``vs_baseline`` is measured
+images/sec/chip divided by 125. (The reference publishes no throughput
+numbers at all — SURVEY.md §6.)
+
+Method: N eval-mode forwards chained inside one jit via ``lax.scan`` (each
+iteration reads a perturbed input so nothing folds away), timed around a
+single device call — this measures device throughput without the per-call
+RPC latency of the tunneled TPU runtime, whose ``block_until_ready`` is
+fire-and-forget.
+"""
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC_PER_CHIP = 125.0
+
+
+def bench(batch_size: int, steps: int = 20, size: int = 640) -> float:
+    from db_text_minimal_tpu.models import DBTextModel
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = DBTextModel(dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)), train=False)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def forward_n(v, x, n):
+        def body(carry, _):
+            out = model.apply(v, x + carry, train=False)
+            return out.mean().astype(jnp.float32), None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return s
+
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(batch_size, size, size, 3).astype(np.float32))
+    float(forward_n(variables, x, steps))  # compile + warm
+    t0 = time.perf_counter()
+    float(forward_n(variables, x, steps))  # forces completion (scalar D2H)
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def main():
+    n_chips = jax.device_count()
+    best = 0.0
+    batches = (32, 64) if jax.default_backend() != "cpu" else (4,)
+    for bs in batches:
+        try:
+            best = max(best, bench(batch_size=bs))
+        except Exception:
+            break
+    per_chip = best / max(n_chips, 1)
+    print(json.dumps({
+        "metric": "db_resnet18_inference_640",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
