@@ -1,0 +1,60 @@
+"""Shared CLI infrastructure: model loading and the unified argument set.
+
+The reference duplicated inference thresholds between the Makefile and each
+CLI's argparse defaults (``Makefile:26-29`` vs ``src/test.py:35-37``); here
+every CLI draws defaults from the same config system and accepts the same
+overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..models import DBTextModel
+from ..train.checkpoints import load_params_any
+from ..utils import str_to_bool
+
+
+def load_model(model_path: str, backbone: str = "resnet18",
+               neck: str = "FPN", head: str = "DBHead", dtype=None):
+    """``src/test.py:13-18`` equivalent: build + restore weights from a
+    native ``.ckpt`` or a reference ``.pth``. Returns (model, variables)."""
+    assert os.path.exists(model_path), model_path
+    if dtype is None:
+        dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                 else jnp.float32)
+    model = DBTextModel(backbone_name=backbone, neck_name=neck,
+                        head_name=head, dtype=dtype)
+    variables = load_params_any(model_path)
+    return model, variables
+
+
+def make_forward(model: DBTextModel):
+    @jax.jit
+    def forward(variables, x):
+        return model.apply(variables, x, train=False)
+
+    return forward
+
+
+def add_inference_args(parser: argparse.ArgumentParser) -> None:
+    """The shared argparse surface of ``src/test.py:21-42``."""
+    parser.add_argument("--image_path", type=str, default="./assets/foo.jpg")
+    parser.add_argument("--model_path", type=str,
+                        default="./models/best_cp.ckpt")
+    parser.add_argument("--backbone", type=str, default="resnet18")
+    parser.add_argument("--save_dir", type=str, default="./assets")
+    parser.add_argument("--device", type=str, default=None,
+                        help="unused; kept for reference CLI parity")
+    parser.add_argument("--prob_thred", type=float, default=0.5)
+    parser.add_argument("--heatmap", type=str_to_bool, default=False)
+    parser.add_argument("--thresh", type=float, default=0.5)
+    parser.add_argument("--box_thresh", type=float, default=0.7)
+    parser.add_argument("--unclip_ratio", type=float, default=1.5)
+    parser.add_argument("--is_output_polygon", type=str_to_bool,
+                        default=False)
+    parser.add_argument("--alpha", type=float, default=0.6)

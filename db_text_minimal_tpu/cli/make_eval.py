@@ -1,0 +1,126 @@
+"""Batch evaluation generator: run inference + postprocess over a test
+directory and dump prediction pickles for the ioueval/deteval CLIs.
+
+Rebuild of ``src/make_eval.py`` plus the GT exporter the reference lacks
+(nothing in its tree writes the ``result_poly_gts.pkl`` its evaluators
+consume — SURVEY.md §2a #17): ``--gt_dir``/``--dataset`` here emit the GT
+pickle alongside predictions.
+
+Usage::
+
+    python -m db_text_minimal_tpu.cli.make_eval --image_dir imgs/ \
+        --model_path models/best_cp.ckpt \
+        --gt_dir gts/ --dataset totaltext
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import pickle
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.parsers import PARSERS
+from ..postprocess import SegDetectorRepresenter
+from ..utils import read_img, test_preprocess, str_to_bool
+from ..utils.visualize import filter_zero_boxes
+from .common import load_model, make_forward
+
+
+def load_args(argv=None):
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--image_dir", type=str, required=True)
+    parser.add_argument("--model_path", type=str,
+                        default="./models/best_cp.ckpt")
+    parser.add_argument("--backbone", type=str, default="resnet18")
+    parser.add_argument("--save_dir", type=str, default="./assets")
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--thresh", type=float, default=0.3)
+    parser.add_argument("--box_thresh", type=float, default=0.5)
+    parser.add_argument("--unclip_ratio", type=float, default=1.5)
+    parser.add_argument("--is_output_polygon", type=str_to_bool, default=True)
+    parser.add_argument("--preds_fp", type=str,
+                        default="./data/result_poly_preds.pkl")
+    parser.add_argument("--img_fns_fp", type=str,
+                        default="./data/img_fns.pkl")
+    # GT exporter (new capability; closes the reference's missing-GT gap)
+    parser.add_argument("--gt_dir", type=str, default=None)
+    parser.add_argument("--dataset", type=str, default="totaltext",
+                        choices=sorted(PARSERS))
+    parser.add_argument("--gts_fp", type=str,
+                        default="./data/result_poly_gts.pkl")
+    parser.add_argument("--ignore_tags", type=str, nargs="*",
+                        default=["#", "###"])
+    return parser.parse_args(argv)
+
+
+def export_gts(args, img_fps: list[str]) -> None:
+    """Write the GT pickle in the structure the evaluators consume
+    (``src/iou.py:275-279``)."""
+    parser = PARSERS[args.dataset]
+    if args.dataset == "msra_td500":
+        fps, anns = parser(args.gt_dir)
+    else:
+        fps, anns = parser(args.image_dir, args.gt_dir)
+    by_name = {os.path.basename(fp): ann for fp, ann in zip(fps, anns)}
+    gts = []
+    for fp in img_fps:
+        ann = by_name.get(os.path.basename(fp), [])
+        gts.append([{"points": [tuple(p) for p in a["poly"]],
+                     "text": a["text"],
+                     "ignore": a["text"] in args.ignore_tags}
+                    for a in ann])
+    os.makedirs(os.path.dirname(args.gts_fp) or ".", exist_ok=True)
+    with open(args.gts_fp, "wb") as f:
+        pickle.dump(gts, f)
+    print(f"wrote {len(gts)} GT entries to {args.gts_fp}")
+
+
+def main(args):
+    """``src/make_eval.py:54-122``."""
+    net, variables = load_model(args.model_path, backbone=args.backbone)
+    forward = make_forward(net)
+    seg_obj = SegDetectorRepresenter(thresh=args.thresh,
+                                     box_thresh=args.box_thresh,
+                                     unclip_ratio=args.unclip_ratio)
+
+    test_img_fps = sorted(glob.glob(os.path.join(args.image_dir, "*")))
+    result_poly_preds = []
+    img_fns = []
+    for test_img_fp in test_img_fps:
+        try:
+            img_fns.append(test_img_fp.split("/")[-1])
+            img_origin, h_origin, w_origin = read_img(test_img_fp)
+            tmp_img = test_preprocess(img_origin)
+            batch = {"shape": [(h_origin, w_origin)]}
+            preds = np.asarray(forward(variables, jnp.asarray(tmp_img)))
+            box_list, score_list = seg_obj(
+                batch, preds, is_output_polygon=args.is_output_polygon)
+            box_list, score_list = filter_zero_boxes(
+                box_list[0], score_list[0], args.is_output_polygon)
+            result_poly_preds.append([
+                {"points": [tuple(p) for p in np.asarray(b).tolist()],
+                 "text": "text_sample", "ignore": False}
+                for b in box_list])
+        except Exception as e:  # per-image skip (src/make_eval.py:114-119)
+            print(type(e).__name__, e, test_img_fp, file=sys.stderr)
+            result_poly_preds.append([])
+            continue
+
+    os.makedirs(os.path.dirname(args.preds_fp) or ".", exist_ok=True)
+    with open(args.preds_fp, "wb") as f:
+        pickle.dump(result_poly_preds, f)
+    with open(args.img_fns_fp, "wb") as f:
+        pickle.dump(img_fns, f)
+    print(f"wrote {len(result_poly_preds)} predictions to {args.preds_fp}")
+
+    if args.gt_dir:
+        export_gts(args, test_img_fps)
+
+
+if __name__ == "__main__":
+    main(load_args())

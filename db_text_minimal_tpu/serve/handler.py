@@ -1,0 +1,86 @@
+"""Serving handler: preprocess → inference → postprocess.
+
+Contract-compatible rebuild of the reference TorchServe handler
+(``src/db_handler.py:51-120``): request bytes → PIL decode → aspect resize +
+Caffe-mean subtract → model forward → per-image JSON with ``prob_mask`` /
+``thresh_mask`` as uint8 (×255) nested lists. Box extraction stays
+client-side, as in the reference (SURVEY.md §3.4).
+
+The model can be a live (model, variables) pair or an AOT export artifact
+(``export.load_exported``). Lazy first-request initialization mirrors
+``db_handler.py:109-120``.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Any
+
+import numpy as np
+
+from ..utils import test_preprocess
+
+
+class DBTextDetectionHandler:
+    """``src/db_handler.py:51-106``."""
+
+    def __init__(self, model_path: str | None = None, forward=None):
+        self.model_path = model_path
+        self._forward = forward
+        self.initialized = forward is not None
+
+    def initialize(self) -> None:
+        assert self.model_path is not None
+        if self.model_path.endswith(".stablehlo"):
+            from .export import load_exported
+
+            self._forward = load_exported(self.model_path)
+        else:
+            import jax
+
+            from ..cli.common import load_model
+
+            model, variables = load_model(self.model_path)
+
+            @jax.jit
+            def fwd(x):
+                return model.apply(variables, x, train=False)
+
+            self._forward = fwd
+        self.initialized = True
+
+    def preprocess(self, request: list[dict[str, Any]]) -> np.ndarray:
+        """bytes → float32 NHWC batch (``src/db_handler.py:73-87``)."""
+        from PIL import Image
+
+        imgs = []
+        for data in request:
+            image = data.get("data")
+            if image is None:
+                image = data.get("body")
+            arr = np.array(Image.open(io.BytesIO(image)).convert("RGB"))
+            imgs.append(test_preprocess(arr, pad=True))
+        return np.concatenate(imgs, axis=0)
+
+    def inference(self, img: np.ndarray):
+        return self._forward(img)
+
+    def postprocess(self, data) -> list[dict]:
+        """maps ×255 as JSON-able lists (``src/db_handler.py:92-103``)."""
+        res = []
+        for pred in np.asarray(data):
+            prob_mask = (pred[..., 0] * 255).astype(np.uint8)
+            thresh_mask = (pred[..., 1] * 255).astype(np.uint8)
+            res.append({"prob_mask": prob_mask.tolist(),
+                        "thresh_mask": thresh_mask.tolist()})
+        return res
+
+    def handle(self, request: list[dict[str, Any]]):
+        """``src/db_handler.py:109-120``."""
+        if not self.initialized:
+            self.initialize()
+        if request is None:
+            return None
+        batch = self.preprocess(request)
+        preds = self.inference(batch)
+        return self.postprocess(preds)

@@ -56,8 +56,12 @@ def load_params_any(path: str, template: dict[str, Any] | None = None):
 
         params, stats = load_torch_checkpoint(path)
         return {"params": params, "batch_stats": stats}
-    assert template is not None, "native restore needs a state template"
-    state = restore_checkpoint(path, template)
+    if template is None:
+        # structure-free restore (inference-only loads)
+        with open(path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+    else:
+        state = restore_checkpoint(path, template)
     return {"params": state["params"], "batch_stats": state["batch_stats"]}
 
 

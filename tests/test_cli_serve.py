@@ -1,0 +1,156 @@
+"""End-to-end CLI + serving tests: train → checkpoint → test CLI
+(heatmap/poly/rect) → make_eval with GT export → ioueval/deteval CLIs →
+REST server round trip — the full reference Makefile surface
+(SURVEY.md §1 L6–L8) on the synthetic dataset."""
+
+import json
+import os
+import pickle
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from db_text_minimal_tpu.config import load_config
+from db_text_minimal_tpu.data import DataLoader, TotalTextDataset
+from db_text_minimal_tpu.data.synthetic import generate
+from db_text_minimal_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """One-epoch training on a tiny synthetic dataset; returns paths."""
+    root = tmp_path_factory.mktemp("e2e")
+    section = generate(str(root / "data"), n_train=3, n_test=2, size=128,
+                       seed=3)
+    cfg = load_config(overrides={
+        "meta": {"root_dir": str(root)},
+        "hps": {"img_size": 128, "batch_size": 1, "test_batch_size": 1,
+                "no_epochs": 1, "log_iter": 10},
+        "data": {"synthetic": section},
+        "dataset": {"name": "synthetic"},
+        "logging": {"logger_file": None},
+    })
+    train_loader = DataLoader(
+        TotalTextDataset(section["train_dir"], section["train_gt_dir"],
+                         ["###"], is_training=True, image_size=128),
+        1, shuffle=True, prefetch=0)
+    test_loader = DataLoader(
+        TotalTextDataset(section["test_dir"], section["test_gt_dir"],
+                         ["###"], is_training=False, image_size=128),
+        1, prefetch=0)
+    trainer = Trainer(cfg, train_loader, test_loader)
+    trainer.fit(no_epochs=1)
+    ckpt = str(root / "models" / "last_cp.ckpt")
+    assert os.path.exists(ckpt)
+    sample_img = os.path.join(section["test_dir"], sorted(
+        os.listdir(section["test_dir"]))[0])
+    return {"root": root, "ckpt": ckpt, "section": section,
+            "sample_img": sample_img}
+
+
+def test_cli_test_all_modes(trained, tmp_path):
+    from db_text_minimal_tpu.cli import test as test_cli
+
+    for extra, expect in (
+        (["--heatmap", "true"], "heatmap_result_"),
+        (["--is_output_polygon", "true"], "poly_result_"),
+        (["--is_output_polygon", "false"], "rect_result_"),
+    ):
+        args = test_cli.load_args([
+            "--image_path", trained["sample_img"],
+            "--model_path", trained["ckpt"],
+            "--save_dir", str(tmp_path),
+            "--thresh", "0.3", "--box_thresh", "0.1"] + extra)
+        out = test_cli.main(args)
+        assert os.path.exists(out)
+        assert expect in os.path.basename(out)
+
+
+def test_make_eval_and_offline_evals(trained, tmp_path):
+    from db_text_minimal_tpu.cli import make_eval, ioueval, deteval
+
+    preds_fp = str(tmp_path / "preds.pkl")
+    gts_fp = str(tmp_path / "gts.pkl")
+    args = make_eval.load_args([
+        "--image_dir", trained["section"]["test_dir"],
+        "--model_path", trained["ckpt"],
+        "--thresh", "0.3", "--box_thresh", "0.1",
+        "--preds_fp", preds_fp,
+        "--img_fns_fp", str(tmp_path / "fns.pkl"),
+        "--gt_dir", trained["section"]["test_gt_dir"],
+        "--dataset", "totaltext",
+        "--gts_fp", gts_fp,
+    ])
+    make_eval.main(args)
+    with open(preds_fp, "rb") as f:
+        preds = pickle.load(f)
+    with open(gts_fp, "rb") as f:
+        gts = pickle.load(f)
+    assert len(preds) == len(gts) == 2
+    assert all(len(g) >= 1 for g in gts)
+
+    m1 = ioueval.main(ioueval.load_args(
+        ["--iou", "0.4", "--area", "0.8",
+         "--poly_gts_fp", gts_fp, "--poly_preds_fp", preds_fp]))
+    m2 = deteval.main(deteval.load_args(
+        ["--tp", "0.4", "--tr", "0.8",
+         "--poly_gts_fp", gts_fp, "--poly_preds_fp", preds_fp]))
+    for m in (m1, m2):
+        assert set(m) == {"precision", "recall", "hmean"}
+        assert all(0.0 <= v <= 1.0 for v in m.values())
+
+
+def test_rest_server_roundtrip(trained):
+    from db_text_minimal_tpu.serve import make_server
+
+    server = make_server(trained["ckpt"], port=0, model_name="dbtext")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health check
+        with urllib.request.urlopen(
+                f"http://localhost:{port}/ping", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "Healthy"
+        with open(trained["sample_img"], "rb") as f:
+            img_bytes = f.read()
+        req = urllib.request.Request(
+            f"http://localhost:{port}/predictions/dbtext", data=img_bytes,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = json.loads(r.read())
+        prob = np.array(payload["prob_mask"], dtype=np.uint8)
+        thresh = np.array(payload["thresh_mask"], dtype=np.uint8)
+        assert prob.shape == (640, 640)       # handler pads to 640
+        assert thresh.shape == (640, 640)
+        # wrong route -> 404
+        bad = urllib.request.Request(
+            f"http://localhost:{port}/predictions/nope", data=b"x",
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad, timeout=30)
+        assert exc.value.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_aot_export_roundtrip(trained, tmp_path):
+    import jax.numpy as jnp
+
+    from db_text_minimal_tpu.cli.common import load_model
+    from db_text_minimal_tpu.serve import export_model, load_exported
+
+    model, variables = load_model(trained["ckpt"])
+    path = str(tmp_path / "db.stablehlo")
+    export_model(model, variables, path, input_shape=(1, 128, 128, 3))
+    infer = load_exported(path)
+    x = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
+    out = np.asarray(infer(x))
+    assert out.shape == (1, 128, 128, 2)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    # trained checkpoints sit on steep sigmoid cliffs where float-level
+    # reassociation flips saturated pixels; demand agreement almost
+    # everywhere rather than bitwise closeness
+    assert np.mean(np.abs(out - ref) > 1e-3) < 0.01
