@@ -316,8 +316,16 @@ class Trainer:
                                   cfg.model.best_hmean_cp_path)
         history = []
         for epoch in range(epochs):
-            state, train_loss, _, _ = self.train_epoch(state, epoch)
+            state, train_loss, _, last = self.train_epoch(state, epoch)
             self.logger.info("Train loss: %.5f", train_loss)
+            if self.tb_writer is not None and last[0] is not None:
+                # per-epoch image grids (src/train.py:215-220)
+                from ..utils.visualize import visualize_tfb
+
+                visualize_tfb(self.tb_writer, last[0]["img"],
+                              np.asarray(last[1]), self.global_step,
+                              thresh=float(cfg.metric.thred_text_score),
+                              mode="TRAIN")
             test_loss, _, recall, precision, hmean = self.eval_epoch(state)
             self.logger.info(
                 "TEST/Recall: %.4f - TEST/Precision: %.4f - TEST/HMean: %.4f",
