@@ -25,7 +25,7 @@ save_dir := $(cwd)/assets
 	synthetic test-pp test-folder test-webcam test-video
 
 lint:
-	python -m pyflakes db_text_minimal_tpu || true
+	python -m compileall -q db_text_minimal_tpu
 
 test:
 	python -m pytest tests/ -x -q

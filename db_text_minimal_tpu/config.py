@@ -114,6 +114,7 @@ def default_config() -> ConfigNode:
             "neck": "FPN",
             "head": "DBHead",
             "finetune_cp_path": None,
+            "pretrained_backbone_path": None,  # torchvision resnet .pth
             "best_cp_path": "models/best_cp.ckpt",
             "last_cp_path": "models/last_cp.ckpt",
             "best_hmean_cp_path": "models/best_hmean_cp.ckpt",

@@ -204,6 +204,15 @@ class Trainer:
             train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        # ImageNet-pretrained backbone warm start, the reference's
+        # resnet18(pretrained=True) path (src/modules/resnet.py:245-255)
+        pb = self.cfg.model.pretrained_backbone_path
+        if pb and os.path.exists(str(pb)):
+            from ..utils.torch_port import load_pretrained_backbone
+
+            self.logger.info("Loading pretrained backbone: %s", pb)
+            params, batch_stats = load_pretrained_backbone(
+                str(pb), params, batch_stats)
         # finetune warm start (src/train.py:100-107)
         ft = self.cfg.model.finetune_cp_path
         if ft and os.path.exists(os.path.join(self.cfg.meta.root_dir or ".",

@@ -143,3 +143,45 @@ def load_torch_checkpoint(path: str):
     if not isinstance(sd, dict):
         sd = sd.state_dict()
     return torch_state_dict_to_flax(sd)
+
+
+def torchvision_resnet_to_flax(state_dict: Mapping[str, Any]):
+    """Convert a torchvision-format ImageNet ResNet state_dict (keys like
+    ``conv1.weight``, ``layer1.0.conv1.weight`` — the model-zoo files the
+    reference downloads at ``src/modules/resnet.py:245-255`` and loads
+    ``strict=False``) into backbone params + batch stats. The classifier
+    head (``fc.*``) is dropped, mirroring the reference's forward pass which
+    never uses it."""
+    prefixed = {"backbone." + k: v for k, v in state_dict.items()
+                if not k.startswith("fc.")}
+    params, stats = torch_state_dict_to_flax(prefixed)
+    return params.get("backbone", {}), stats.get("backbone", {})
+
+
+def load_pretrained_backbone(path: str, params, batch_stats):
+    """Warm-start the backbone subtree of a DBTextModel params pytree from a
+    torchvision ResNet ``.pth``; other subtrees pass through unchanged."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(sd, dict):
+        sd = sd.state_dict()
+    bb_params, bb_stats = torchvision_resnet_to_flax(sd)
+
+    def merge(dst: dict, src: dict) -> dict:
+        out = dict(dst)
+        for key, value in src.items():
+            if key in out and isinstance(value, dict):
+                out[key] = merge(out[key], value)
+            elif key in out:
+                assert out[key].shape == value.shape, (
+                    key, out[key].shape, value.shape)
+                out[key] = value
+        return out
+
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    params["backbone"] = merge(params.get("backbone", {}), bb_params)
+    batch_stats["backbone"] = merge(batch_stats.get("backbone", {}),
+                                    bb_stats)
+    return params, batch_stats

@@ -131,3 +131,42 @@ def test_parity_with_reference_torch_model():
     ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
     assert ref_out.shape == ours.shape
     np.testing.assert_allclose(ours, ref_out, atol=5e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference checkout not available")
+def test_torchvision_backbone_import(tmp_path):
+    """ImageNet warm-start path: a torchvision-format ResNet state_dict
+    (no 'backbone.' prefix, with fc head) loads into the backbone subtree."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REFERENCE)
+    try:
+        import modules.resnet as ref_resnet
+        ref_resnet.model_zoo.load_url = lambda url: {}
+        torch.manual_seed(1)
+        tm = ref_resnet.resnet18(pretrained=False)
+    finally:
+        sys.path.remove(REFERENCE)
+    # torchvision layout = reference backbone layout + fc head
+    sd = {k: v for k, v in tm.state_dict().items()
+          if not k.startswith("smooth")}
+    path = str(tmp_path / "resnet18.pth")
+    torch.save(sd, path)
+
+    from db_text_minimal_tpu.models import DBTextModel
+    from db_text_minimal_tpu.utils.torch_port import load_pretrained_backbone
+
+    m = DBTextModel()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                       train=False)
+    params, stats = load_pretrained_backbone(
+        path, variables["params"], variables.get("batch_stats", {}))
+    want = np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(params["backbone"]["conv1"]["kernel"]), want)
+    # non-backbone subtrees untouched
+    assert "segmentation_head" in params
+    # model still runs with merged params
+    out = m.apply({"params": params, "batch_stats": stats},
+                  jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 64, 64, 2)
