@@ -51,7 +51,8 @@ class BaseDataset:
         self.thresh_max = thresh_max
         self.mean = np.asarray(mean, dtype=np.float32)
         self.debug = debug
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0  # set by the loader; feeds per-sample aug RNGs
 
         self.image_paths, self.all_anns = type(self).parser(
             train_dir, train_gt_dir)
@@ -72,8 +73,12 @@ class BaseDataset:
         img = img[:, :, ::-1]  # BGR -> RGB (src/data_loaders.py:78)
 
         if self.is_training:
-            img, anns = aug.random_flip_rotate_resize(self.rng, img, anns)
-            img, anns = aug.crop(self.rng, img, anns)
+            # per-(epoch, index) RNG: deterministic regardless of worker
+            # interleaving, varies across epochs
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + self.epoch * 9176 + index) % (2**31))
+            img, anns = aug.random_flip_rotate_resize(rng, img, anns)
+            img, anns = aug.crop(rng, img, anns)
         img, anns = aug.resize_square_pad(self.image_size, img, anns)
 
         # drop invalid polygons (src/data_loaders.py:86)
@@ -153,7 +158,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 42, num_hosts: int = 1, host_id: int = 0,
-                 drop_last: bool | None = None, prefetch: int = 2):
+                 drop_last: bool | None = None, prefetch: int = 2,
+                 num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -162,6 +168,11 @@ class DataLoader:
         self.host_id = host_id
         self.drop_last = shuffle if drop_last is None else drop_last
         self.prefetch = prefetch
+        # sample decode + label generation run in a thread pool: cv2 and the
+        # C++ geometry library release the GIL, so threads give real
+        # parallelism without the fork hazards the reference worked around
+        # (cv2.setNumThreads(0), src/train.py:25-26)
+        self.num_workers = num_workers
         self.epoch = 0
 
     def _indices(self) -> np.ndarray:
@@ -181,14 +192,32 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
         order = self._indices()
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = self.epoch
         self.epoch += 1
         n_batches = len(order) // self.batch_size if self.drop_last else \
             (len(order) + self.batch_size - 1) // self.batch_size
 
+        pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def fetch(indices):
+            if pool is None:
+                return [self.dataset[int(i)] for i in indices]
+            return list(pool.map(lambda i: self.dataset[int(i)], indices))
+
         def batches():
-            for b in range(n_batches):
-                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-                yield _stack_batch([self.dataset[int(i)] for i in idx])
+            try:
+                for b in range(n_batches):
+                    idx = order[b * self.batch_size:
+                                (b + 1) * self.batch_size]
+                    yield _stack_batch(fetch(idx))
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         if self.prefetch <= 0:
             yield from batches()

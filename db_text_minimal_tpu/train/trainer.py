@@ -295,9 +295,20 @@ class Trainer:
         raw_metrics = []
         n = 0
         size = int(cfg.hps.img_size)
+        # one random test batch gets TB image grids (src/train.py:249-257)
+        visualize_index = (np.random.randint(len(self.test_loader))
+                           if self.tb_writer is not None
+                           and len(self.test_loader) else -1)
         for batch in self.test_loader:
             device_batch = shard_batch(array_batch(batch), self.mesh)
             preds, loss, hist = self._eval_step(state, device_batch)
+            if n == visualize_index:
+                from ..utils.visualize import visualize_tfb
+
+                visualize_tfb(self.tb_writer, batch["img"],
+                              np.asarray(preds), self.global_step,
+                              thresh=float(cfg.metric.thred_text_score),
+                              mode="TEST")
             test_loss += float(loss)
             running.confusion_matrix += np.asarray(hist)
             n += 1

@@ -229,3 +229,20 @@ def test_loader_sharding_and_batching(synth_dir):
     assert len(batches) == 3
     assert batches[0]["img"].shape == (2, 640, 640, 3)
     assert batches[0]["prob_map"].shape == (2, 640, 640)
+
+
+def test_loader_parallel_workers_deterministic(synth_dir):
+    """Thread-pool sample loading must not change batch contents vs serial
+    loading (per-(epoch, index) aug RNGs)."""
+    def run(num_workers):
+        ds = TotalTextDataset(os.path.join(synth_dir, "train_images"),
+                              os.path.join(synth_dir, "train_gts"),
+                              ignore_tags=["###"], is_training=True)
+        loader = DataLoader(ds, batch_size=2, shuffle=True, seed=11,
+                            prefetch=0, num_workers=num_workers)
+        return [b["img"].sum() for b in loader]
+
+    serial = run(1)
+    parallel = run(4)
+    assert len(serial) == len(parallel)
+    np.testing.assert_allclose(serial, parallel)
