@@ -20,7 +20,7 @@ rec_model_path := $(cwd)/models/rec.ckpt
 img_path := $(cwd)/assets/foo.jpg
 save_dir := $(cwd)/assets
 
-.PHONY: lint test train test-heatmap test-poly test-rect test-all \
+.PHONY: lint test train export test-heatmap test-poly test-rect test-all \
 	make-eval ioueval deteval serve serve-stop serve-request bench \
 	synthetic test-pp test-folder test-webcam test-video
 
@@ -69,6 +69,9 @@ deteval:
 	python -m db_text_minimal_tpu.cli.deteval --tp $(tp) --tr $(tr)
 
 # serving (reference Makefile:71-93 ts-* targets)
+export:
+	python -m db_text_minimal_tpu.cli.export --model_path $(model_path) --out $(cwd)/models/db.stablehlo
+
 serve:
 	python -m db_text_minimal_tpu.serve.server \
 		--model_path $(model_path) --port 8080 &

@@ -58,6 +58,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch split over ``data`` and image ROWS split over ``model`` —
+    the conv-net analogue of sequence parallelism (SURVEY.md §5: the
+    detector has no sequence axis; spatial resolution is the scaling axis).
+    Under GSPMD, convolutions over the sharded H dim get their halo
+    exchanges inserted automatically by XLA; no manual collectives."""
+    assert MODEL_AXIS in mesh.axis_names, "needs a (data, model) mesh"
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
