@@ -17,7 +17,7 @@ its forward pass.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
