@@ -154,3 +154,38 @@ def test_aot_export_roundtrip(trained, tmp_path):
     # reassociation flips saturated pixels; demand agreement almost
     # everywhere rather than bitwise closeness
     assert np.mean(np.abs(out - ref) > 1e-3) < 0.01
+
+
+def test_train_cli_with_config_file(tmp_path, monkeypatch):
+    """Drive the config-driven train CLI end to end: yaml -> loaders ->
+    Trainer.fit -> checkpoints (the `make train` surface)."""
+    import yaml
+
+    from db_text_minimal_tpu.cli import train as train_cli
+    from db_text_minimal_tpu.data.synthetic import generate
+
+    section = generate(str(tmp_path / "data"), n_train=2, n_test=1, size=128,
+                       seed=9)
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({
+            "meta": {"root_dir": str(tmp_path)},
+            "hps": {"img_size": 128, "batch_size": 1, "test_batch_size": 1,
+                    "no_epochs": 1, "log_iter": 10},
+            "data": {"synthetic": section},
+            "dataset": {"name": "synthetic"},
+            "logging": {"logger_file": None, "log_dir": "logs"},
+        }, f)
+    args = train_cli.load_args(["--config", str(cfg_path)])
+    state, history = train_cli.main(args)
+    assert len(history) == 1
+    assert os.path.exists(tmp_path / "models" / "last_cp.ckpt")
+
+
+def test_export_cli(trained, tmp_path):
+    from db_text_minimal_tpu.cli import export as export_cli
+
+    out = str(tmp_path / "db.stablehlo")
+    path = export_cli.main(["--model_path", trained["ckpt"], "--out", out,
+                            "--height", "128", "--width", "128"])
+    assert os.path.exists(path) and os.path.exists(path + ".params")
