@@ -29,6 +29,8 @@ def load_args(argv=None):
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--dataset", type=str, default=None)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint to resume full training state from")
     parser.add_argument("--coordinator_address", type=str, default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
@@ -66,7 +68,8 @@ def main(args=None):
     test_loader = DataLoader(test_ds, int(cfg.hps.test_batch_size))
 
     trainer = Trainer(cfg, train_loader, test_loader, tb_writer=tb_writer)
-    state, history = trainer.fit()
+    state = trainer.resume_state(args.resume) if args.resume else None
+    state, history = trainer.fit(state=state)
     return state, history
 
 

@@ -230,6 +230,23 @@ class Trainer:
                            step=jnp.zeros((), jnp.int32))
         return replicate_state(state, self.mesh)
 
+    def resume_state(self, checkpoint_path: str,
+                     image_size: int | None = None,
+                     batch_size: int | None = None) -> TrainState:
+        """Restore FULL training state (params + batch stats + optimizer
+        moments + step) — true resume, which the reference could not do
+        (it saved only model weights, SURVEY.md §5 checkpoint note)."""
+        from .checkpoints import restore_checkpoint
+
+        template = jax.device_get(self.init_state(image_size, batch_size))
+        restored = restore_checkpoint(
+            checkpoint_path,
+            {"params": template.params, "batch_stats": template.batch_stats,
+             "opt_state": template.opt_state, "step": template.step})
+        state = TrainState(**restored)
+        self.global_step = int(state.step)
+        return replicate_state(state, self.mesh)
+
     def current_lr(self) -> float:
         if self.lrs_mode == "poly":
             return float(self.poly_schedule(self.global_step))

@@ -189,3 +189,37 @@ def test_export_cli(trained, tmp_path):
     path = export_cli.main(["--model_path", trained["ckpt"], "--out", out,
                             "--height", "128", "--width", "128"])
     assert os.path.exists(path) and os.path.exists(path + ".params")
+
+
+def test_rest_server_concurrent_microbatching(trained):
+    """Concurrent requests must coalesce through the batcher and all get
+    correct independent responses."""
+    import concurrent.futures
+
+    from db_text_minimal_tpu.serve import make_server
+
+    server = make_server(trained["ckpt"], port=0, model_name="dbtext",
+                         max_batch=4)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with open(trained["sample_img"], "rb") as f:
+            img_bytes = f.read()
+
+        def post(_):
+            req = urllib.request.Request(
+                f"http://localhost:{port}/predictions/dbtext",
+                data=img_bytes, method="POST")
+            with urllib.request.urlopen(req, timeout=180) as r:
+                return json.loads(r.read())
+
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            results = list(pool.map(post, range(4)))
+        assert len(results) == 4
+        ref = np.array(results[0]["prob_mask"], np.uint8)
+        for r in results[1:]:
+            np.testing.assert_array_equal(
+                np.array(r["prob_mask"], np.uint8), ref)
+    finally:
+        server.shutdown()
