@@ -56,7 +56,9 @@ def bench(batch_size: int, steps: int = 20, size: int = 640) -> float:
 def main():
     n_chips = jax.device_count()
     best = 0.0
-    batches = (32, 64) if jax.default_backend() != "cpu" else (4,)
+    # batch 32 is the measured sweet spot (64 is slightly slower; see
+    # docs/PERFORMANCE.md) — one batch size keeps the bench to one compile
+    batches = (32,) if jax.default_backend() != "cpu" else (4,)
     for bs in batches:
         try:
             best = max(best, bench(batch_size=bs))

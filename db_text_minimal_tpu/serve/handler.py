@@ -75,12 +75,39 @@ class DBTextDetectionHandler:
                         "thresh_mask": thresh_mask.tolist()})
         return res
 
-    def handle(self, request: list[dict[str, Any]]):
-        """``src/db_handler.py:109-120``."""
+    def postprocess_boxes(self, data, thresh: float = 0.3,
+                          box_thresh: float = 0.7) -> list[dict]:
+        """Fast box mode (no reference counterpart — the reference always
+        returns full masks and leaves boxes to the client, SURVEY.md §3.4):
+        on-device connected components → per-region axis-aligned boxes +
+        scores; the response shrinks from two H×W masks to K box records."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas.cc import fast_boxes
+
+        res = []
+        for pred in data:
+            boxes, scores, keep = fast_boxes(
+                jnp.asarray(pred[..., 0]), thresh=thresh,
+                box_thresh=box_thresh)
+            boxes, scores, keep = (np.asarray(boxes), np.asarray(scores),
+                                   np.asarray(keep))
+            res.append({
+                "boxes": boxes[keep].astype(float).tolist(),
+                "scores": scores[keep].astype(float).tolist(),
+            })
+        return res
+
+    def handle(self, request: list[dict[str, Any]],
+               mode: str = "masks"):
+        """``src/db_handler.py:109-120``; ``mode='boxes'`` selects the fast
+        on-device box path."""
         if not self.initialized:
             self.initialize()
         if request is None:
             return None
         batch = self.preprocess(request)
         preds = self.inference(batch)
+        if mode == "boxes":
+            return self.postprocess_boxes(np.asarray(preds))
         return self.postprocess(preds)

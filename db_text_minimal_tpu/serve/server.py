@@ -35,10 +35,10 @@ class _Batcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, body: bytes):
+    def submit(self, body: bytes, mode: str = "masks"):
         done = threading.Event()
         slot: dict = {}
-        self.q.put((body, done, slot))
+        self.q.put((body, mode, done, slot))
         done.wait()
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -50,17 +50,23 @@ class _Batcher:
             items = [first]
             try:
                 while len(items) < self.max_batch:
-                    items.append(self.q.get(timeout=self.max_wait))
+                    # only coalesce requests with the same response mode
+                    nxt = self.q.get(timeout=self.max_wait)
+                    if nxt[1] != items[0][1]:
+                        self.q.put(nxt)
+                        break
+                    items.append(nxt)
             except queue.Empty:
                 pass
-            request = [{"body": body} for body, _, _ in items]
+            request = [{"body": body} for body, _, _, _ in items]
+            mode = items[0][1]
             try:
-                results = self.handler.handle(request)
-                for (_, done, slot), result in zip(items, results):
+                results = self.handler.handle(request, mode=mode)
+                for (_, _, done, slot), result in zip(items, results):
                     slot["result"] = result
                     done.set()
             except Exception as e:
-                for _, done, slot in items:
+                for _, _, done, slot in items:
                     slot["error"] = f"{type(e).__name__}: {e}"
                     done.set()
 
@@ -75,13 +81,15 @@ def make_server(model_path: str, port: int = 8080,
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
-            if self.path.rstrip("/") != f"/predictions/{model_name}":
+            path, _, query = self.path.partition("?")
+            if path.rstrip("/") != f"/predictions/{model_name}":
                 self.send_error(404, "unknown model")
                 return
+            mode = "boxes" if "mode=boxes" in query else "masks"
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
-                result = batcher.submit(body)
+                result = batcher.submit(body, mode=mode)
             except Exception as e:
                 self.send_error(500, str(e))
                 return

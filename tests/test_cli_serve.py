@@ -223,3 +223,27 @@ def test_rest_server_concurrent_microbatching(trained):
                 np.array(r["prob_mask"], np.uint8), ref)
     finally:
         server.shutdown()
+
+
+def test_rest_server_box_mode(trained):
+    """?mode=boxes returns on-device fast boxes instead of full masks."""
+    from db_text_minimal_tpu.serve import make_server
+
+    server = make_server(trained["ckpt"], port=0, model_name="dbtext")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with open(trained["sample_img"], "rb") as f:
+            img_bytes = f.read()
+        req = urllib.request.Request(
+            f"http://localhost:{port}/predictions/dbtext?mode=boxes",
+            data=img_bytes, method="POST")
+        with urllib.request.urlopen(req, timeout=180) as r:
+            payload = json.loads(r.read())
+        assert set(payload) == {"boxes", "scores"}
+        assert len(payload["boxes"]) == len(payload["scores"])
+        for box in payload["boxes"]:
+            assert len(box) == 4  # xmin, ymin, xmax, ymax
+    finally:
+        server.shutdown()
