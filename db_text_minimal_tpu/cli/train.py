@@ -31,6 +31,9 @@ def load_args(argv=None):
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint to resume full training state from")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of the first "
+                             "epoch into this directory")
     parser.add_argument("--coordinator_address", type=str, default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
@@ -69,6 +72,14 @@ def main(args=None):
 
     trainer = Trainer(cfg, train_loader, test_loader, tb_writer=tb_writer)
     state = trainer.resume_state(args.resume) if args.resume else None
+    if args.profile_dir:
+        from ..utils.profiling import trace
+
+        with trace(args.profile_dir):
+            state, _, _, _ = trainer.train_epoch(
+                state if state is not None else trainer.init_state(), 0)
+        state, history = trainer.fit(state=state)
+        return state, history
     state, history = trainer.fit(state=state)
     return state, history
 

@@ -254,8 +254,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, state: TrainState, epoch: int):
+        from ..utils.profiling import StepTimer
+
         cfg = self.cfg
         running = RunningScore(int(cfg.hps.no_classes))
+        timer = StepTimer(warmup=1)
         train_loss = 0.0
         n_batches = 0
         last = (None, None)
@@ -267,7 +270,8 @@ class Trainer:
             state, loss_out, hist, preds = self._train_step(
                 state, device_batch, jnp.float32(lr))
             running.confusion_matrix += np.asarray(hist)
-            total = float(loss_out.total_loss)
+            total = float(loss_out.total_loss)   # forces step completion
+            timer.tick(batch["img"].shape[0])
             train_loss += total
             last = (batch, preds)
 
@@ -296,6 +300,15 @@ class Trainer:
                     "acc: %.4f - iou: %.4f", epoch + 1, self.global_step, lr,
                     total, float(loss_out.prob_threshold_loss),
                     scores["Mean Acc"], scores["Mean IoU"])
+        ips = timer.images_per_sec
+        if ips > 0:
+            # images/sec/chip: the BASELINE metric, reported per epoch
+            per_chip = ips / max(self.mesh.devices.size, 1)
+            self.logger.info("throughput: %.1f img/s (%.1f img/s/chip)",
+                             ips, per_chip)
+            if self.tb_writer is not None:
+                self.tb_writer.add_scalar("TRAIN/HPs/images_per_sec", ips,
+                                          self.global_step)
         mean_loss = train_loss / max(n_batches, 1)
         return state, mean_loss, running, last
 
