@@ -261,3 +261,38 @@ def build_dataset(cfg, is_training: bool):
         image_size=cfg.hps.img_size,
         seed=cfg.trainer.seed if cfg.trainer else 42,
     )
+
+
+def _visualize_sample_main():
+    """GT overlay visualization, the ``src/data_loaders.py:350-393``
+    ``__main__``: load one training sample and save the prob/thresh map
+    overlay to tmp/foo.jpg.
+
+    Usage: ``python -m db_text_minimal_tpu.data.datasets [config.yaml]``
+    """
+    import sys
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..config import load_config
+    from ..utils import minmax_scaler_img
+
+    cfg = load_config(sys.argv[1] if len(sys.argv) > 1 else None)
+    dataset = build_dataset(cfg, is_training=True)
+    loader = DataLoader(dataset, batch_size=1, shuffle=True, prefetch=0)
+    samples = next(iter(loader))
+    plt.figure()
+    plt.imshow(minmax_scaler_img(samples["img"][0]))
+    plt.imshow(samples["prob_map"][0], cmap="jet", alpha=0.35)
+    plt.imshow(samples["thresh_map"][0], cmap="jet", alpha=0.5)
+    os.makedirs(os.path.join(cfg.meta.root_dir or ".", "tmp"), exist_ok=True)
+    out = os.path.join(cfg.meta.root_dir or ".", "tmp", "foo.jpg")
+    plt.savefig(out, bbox_inches="tight")
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    _visualize_sample_main()

@@ -168,3 +168,16 @@ def test_resume_restores_full_state(synth, tmp_path):
     restored, loss, _, _ = trainer2.train_epoch(restored, 1)
     assert np.isfinite(loss)
     assert int(jax.device_get(restored.step)) > steps_done
+
+
+def test_training_with_true_ohem(synth, tmp_path):
+    """reduction='none' (correct per-pixel OHEM) path trains under jit."""
+    d, section = synth
+    cfg = _small_cfg(tmp_path, section,
+                     trainer={"seed": 42,
+                              "ohem_compat_mean_reduction": False})
+    train_loader, test_loader = _loaders(str(d), cfg)
+    trainer = Trainer(cfg, train_loader, test_loader)
+    state = trainer.init_state(image_size=128, batch_size=2)
+    state, loss, _, _ = trainer.train_epoch(state, 0)
+    assert np.isfinite(loss) and loss > 0
