@@ -203,3 +203,68 @@ def test_approx_poly_dp_reduces_points():
     # approximation stays within epsilon-ish of the original
     assert geo.polygon_area(out) == pytest.approx(geo.polygon_area(circle),
                                                   rel=0.1)
+
+
+def _random_star(rng, n, cx=60, cy=60, rmin=10, rmax=45):
+    """Random star-shaped (simple) polygon around a center."""
+    angles = np.sort(rng.rand(n) * 2 * np.pi)
+    radii = rng.rand(n) * (rmax - rmin) + rmin
+    return np.stack([cx + radii * np.cos(angles),
+                     cy + radii * np.sin(angles)], axis=1)
+
+
+def test_offset_fuzz_containment(rng):
+    """Dilation contains the source; shrink is contained by it."""
+    for _ in range(40):
+        poly = _random_star(rng, rng.randint(4, 12))
+        if not geo.polygon_is_simple(poly):
+            continue
+        d = rng.rand() * 6 + 1
+        for loop in geo.offset_polygon(poly, d, integer=False):
+            # every source vertex inside the dilated loop
+            for p in poly:
+                assert geo._point_in_polygon(p, loop), (poly, d)
+            assert geo.polygon_area(loop) > geo.polygon_area(poly)
+        for loop in geo.offset_polygon(poly, -d, integer=False):
+            for p in np.asarray(loop, float):
+                assert geo._point_in_polygon(p, poly), (poly, d)
+            assert geo.polygon_area(loop) < geo.polygon_area(poly)
+
+
+def test_offset_fuzz_opening_roundtrip(rng):
+    """shrink(d) then dilate(d) ≈ morphological opening: close to the
+    original for convex polygons."""
+    for _ in range(20):
+        hull = geo.convex_hull(_random_star(rng, 10))
+        if len(hull) < 4:
+            continue
+        d = 3.0
+        shrunk = geo.offset_polygon(hull, -d, integer=False)
+        if not shrunk:
+            continue
+        reopened = geo.offset_polygon(shrunk[0], d, integer=False)
+        assert len(reopened) == 1
+        a0 = geo.polygon_area(hull)
+        a1 = geo.polygon_area(reopened[0])
+        assert a1 <= a0 + 1.0
+        assert a1 > 0.8 * a0, (a0, a1)
+
+
+def test_intersection_area_fuzz_vs_raster(rng):
+    """Non-convex ∩ non-convex cross-checked against rasterization."""
+    scale = 4  # subpixel rasterization
+    for _ in range(15):
+        a = _random_star(rng, rng.randint(5, 10))
+        b = _random_star(rng, rng.randint(5, 10), cx=80, cy=70)
+        if not (geo.polygon_is_simple(a) and geo.polygon_is_simple(b)):
+            continue
+        analytic = geo.intersection_area(a, b)
+        img_a = np.zeros((160 * scale, 160 * scale), np.float32)
+        img_b = np.zeros((160 * scale, 160 * scale), np.float32)
+        geo.fill_poly(img_a, a * scale)
+        geo.fill_poly(img_b, b * scale)
+        raster = np.logical_and(img_a > 0, img_b > 0).sum() / scale ** 2
+        # boundary-inclusive rasterization inflates the raster estimate by
+        # up to ~perimeter/scale; tolerate that bias
+        tol = (geo.polygon_perimeter(a) + geo.polygon_perimeter(b)) / scale
+        assert analytic == pytest.approx(raster, abs=max(tol, 4.0))
