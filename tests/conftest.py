@@ -28,3 +28,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(42)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the heavyweight end-to-end modules as 'slow' so future
+    sessions can iterate with `pytest -m "not slow"` (~1 min) and run the
+    full suite (~10 min) before committing."""
+    slow_modules = {"test_cli_serve", "test_trainer", "test_recognition_ocr",
+                    "test_recognition_training"}
+    for item in items:
+        if item.module.__name__ in slow_modules:
+            item.add_marker(pytest.mark.slow)
