@@ -20,7 +20,7 @@ section = generate(data_dir, n_train=32, n_test=8, size=640, seed=13)
 cfg = load_config(overrides={
     "meta": {"root_dir": out},
     "hps": {"img_size": 640, "batch_size": 8, "test_batch_size": 1,
-            "no_epochs": 40, "log_iter": 20},
+            "no_epochs": 100, "log_iter": 40},
     "data": {"synthetic": section},
     "dataset": {"name": "synthetic"},
     "metric": {"thred_text_score": 0.25, "prob_threshold": 0.5,

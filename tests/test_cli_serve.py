@@ -247,3 +247,38 @@ def test_rest_server_box_mode(trained):
             assert len(box) == 4  # xmin, ymin, xmax, ymax
     finally:
         server.shutdown()
+
+
+def test_cli_accepts_reference_pth_checkpoint(tmp_path):
+    """The test CLI loads a reference-format .pth state_dict directly
+    (the BASELINE F-measure-parity flow: run db_resnet18.pth on TPU)."""
+    import sys
+
+    torch = pytest.importorskip("torch")
+    REFERENCE = "/root/reference/src"
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, REFERENCE)
+    try:
+        import modules.resnet as ref_resnet
+        ref_resnet.model_zoo.load_url = lambda url: {}
+        from models import DBTextModel as TorchDB
+    finally:
+        sys.path.remove(REFERENCE)
+    torch.manual_seed(3)
+    pth = str(tmp_path / "db_resnet18.pth")
+    torch.save(TorchDB().state_dict(), pth)
+
+    import cv2
+
+    img_path = str(tmp_path / "img.jpg")
+    cv2.imwrite(img_path, np.random.RandomState(0).randint(
+        0, 255, (128, 128, 3), np.uint8))
+
+    from db_text_minimal_tpu.cli import test as test_cli
+
+    args = test_cli.load_args([
+        "--image_path", img_path, "--model_path", pth,
+        "--save_dir", str(tmp_path), "--heatmap", "true"])
+    out = test_cli.main(args)
+    assert os.path.exists(out)
