@@ -14,8 +14,22 @@ import os
 import numpy as np
 
 
+def _curved_word_poly(rng, size, w, h):
+    """CTW1500-style curved text polygon: 7 points along a bent baseline,
+    7 back along the top (14 points total, matching the CTW parse shape)."""
+    x = rng.randint(0, max(size - w - 1, 1))
+    y = rng.randint(h + 10, max(size - h - 10, h + 11))
+    bend = rng.uniform(-0.4, 0.4) * h * 3
+    ts = np.linspace(0, 1, 7)
+    base_x = x + ts * w
+    base_y = y + bend * np.sin(ts * np.pi)
+    top = np.stack([base_x, base_y - h], axis=1)
+    bottom = np.stack([base_x[::-1], base_y[::-1]], axis=1)
+    return np.concatenate([top, bottom], axis=0)
+
+
 def _render_sample(rng: np.random.RandomState, size: int = 640,
-                   max_words: int = 6):
+                   max_words: int = 6, curved_prob: float = 0.0):
     import cv2
 
     img = np.full((size, size, 3), 0, np.uint8)
@@ -31,30 +45,41 @@ def _render_sample(rng: np.random.RandomState, size: int = 640,
         tries += 1
         w = rng.randint(max(size // 8, 24), max(size // 3, 48))
         h = rng.randint(max(size // 26, 12), max(size // 11, 24))
-        x = rng.randint(0, size - w - 1)
-        y = rng.randint(0, size - h - 1)
-        box = np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]],
-                       np.float64)
+        if rng.rand() < curved_prob:
+            box = np.clip(_curved_word_poly(rng, size, w, h), 2, size - 3)
+        else:
+            x = rng.randint(0, size - w - 1)
+            y = rng.randint(0, size - h - 1)
+            box = np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]],
+                           np.float64)
+            angle = rng.uniform(-8, 8)
+            center = box.mean(axis=0)
+            rad = np.deg2rad(angle)
+            rot = np.array([[np.cos(rad), -np.sin(rad)],
+                            [np.sin(rad), np.cos(rad)]])
+            box = np.clip((box - center) @ rot.T + center, 2, size - 3)
         # reject overlap with existing words (keeps labels unambiguous)
         if any(not (box[:, 0].max() < p[:, 0].min() - 8
                     or box[:, 0].min() > p[:, 0].max() + 8
                     or box[:, 1].max() < p[:, 1].min() - 8
                     or box[:, 1].min() > p[:, 1].max() + 8) for p in polys):
             continue
-        angle = rng.uniform(-8, 8)
-        center = box.mean(axis=0)
-        rad = np.deg2rad(angle)
-        rot = np.array([[np.cos(rad), -np.sin(rad)],
-                        [np.sin(rad), np.cos(rad)]])
-        box = (box - center) @ rot.T + center
-        box = np.clip(box, 2, size - 3)
-        # dark "text" bar with light glyph-like strokes
+        # dark "text" region with light glyph-like strokes
         cv2.fillPoly(img, [box.astype(np.int32)], (25, 25, 30))
+        n = len(box)
         n_strokes = max(w // 18, 2)
         for s in range(n_strokes):
             t = (s + 0.5) / n_strokes
-            p0 = box[0] * (1 - t) + box[1] * t
-            p1 = box[3] * (1 - t) + box[2] * t
+            if n == 4:
+                p0 = box[0] * (1 - t) + box[1] * t
+                p1 = box[3] * (1 - t) + box[2] * t
+            else:  # curved: interpolate along top and bottom chains
+                k = t * (n // 2 - 1)
+                i = int(k)
+                f = k - i
+                p0 = box[i] * (1 - f) + box[i + 1] * f
+                jtop = n - 1 - i
+                p1 = box[jtop] * (1 - f) + box[jtop - 1] * f
             p0 = p0 * 0.85 + p1 * 0.15
             p1 = p1 * 0.85 + p0 * 0.15
             cv2.line(img, tuple(p0.astype(int)), tuple(p1.astype(int)),
@@ -64,8 +89,10 @@ def _render_sample(rng: np.random.RandomState, size: int = 640,
 
 
 def generate(out_dir: str, n_train: int = 8, n_test: int = 4,
-             size: int = 640, seed: int = 0) -> dict:
-    """Write a TotalText-format dataset under ``out_dir``. Returns the
+             size: int = 640, seed: int = 0,
+             curved_prob: float = 0.0) -> dict:
+    """Write a TotalText-format dataset under ``out_dir``; ``curved_prob``
+    mixes in CTW1500-style curved 14-point words. Returns the
     ``data.<name>`` config section pointing at it."""
     import cv2
 
@@ -81,7 +108,8 @@ def generate(out_dir: str, n_train: int = 8, n_test: int = 4,
 
     def write_split(img_dir, gt_dir, count, offset):
         for i in range(count):
-            img, polys = _render_sample(rng, size=size)
+            img, polys = _render_sample(rng, size=size,
+                                        curved_prob=curved_prob)
             img_id = offset + i
             cv2.imwrite(os.path.join(img_dir, f"img{img_id}.jpg"), img)
             lines = []

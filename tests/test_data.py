@@ -246,3 +246,20 @@ def test_loader_parallel_workers_deterministic(synth_dir):
     parallel = run(4)
     assert len(serial) == len(parallel)
     np.testing.assert_allclose(serial, parallel)
+
+
+def test_synthetic_curved_words(tmp_path):
+    """Curved (14-point) words flow through parsing, validity filtering,
+    and GT map generation."""
+    section = generate(str(tmp_path), n_train=3, n_test=1, size=256, seed=2,
+                       curved_prob=1.0)
+    ds = TotalTextDataset(section["train_dir"], section["train_gt_dir"],
+                          ["###"], is_training=False, image_size=256)
+    found_curved = False
+    for i in range(len(ds)):
+        sample = ds[i]
+        for poly in sample["anns"]:
+            if len(poly) > 4:
+                found_curved = True
+        assert sample["prob_map"].shape == (256, 256)
+    assert found_curved
