@@ -146,7 +146,6 @@ def default_config() -> ConfigNode:
         "scheduler": None,
         "trainer": {
             "seed": 42,
-            "ohem_compat_mean_reduction": True,  # reference losses.py:30-39 quirk
         },
         "training": None,
     })

@@ -15,7 +15,7 @@ Behavioral-parity note (SURVEY.md §2a #6): the reference computes BCE with
 ``mean_bce · (Σpos + Σtopk(neg)) / (#pos + #neg + eps)`` — the top-k of a
 constant map. ``reduction='mean'`` reproduces that exact math;
 ``reduction='none'`` is the correct per-pixel OHEM. Both ship, selected by
-config (``trainer.ohem_compat_mean_reduction``).
+config (``optimizer.reduction``, the reference's own key).
 
 All maps are NHW (prob/thresh channels already split by the caller).
 """

@@ -89,9 +89,9 @@ def build_train_step(model: DBTextModel, tx: optax.GradientTransformation,
     alpha = float(cfg.optimizer.alpha)
     beta = float(cfg.optimizer.beta)
     negative_ratio = float(cfg.optimizer.negative_ratio)
-    reduction = ("mean" if (cfg.trainer
-                            and cfg.trainer.ohem_compat_mean_reduction)
-                 else "none")
+    # optimizer.reduction (the reference's key, example_config.yaml:73):
+    # 'mean' reproduces its degenerate OHEM exactly; 'none' = true per-pixel
+    reduction = str(cfg.optimizer.reduction or "mean")
     score_thresh = float(cfg.metric.thred_text_score)
 
     def train_step(state: TrainState, batch: dict, lr: jnp.ndarray):
@@ -125,9 +125,9 @@ def build_train_step(model: DBTextModel, tx: optax.GradientTransformation,
 def build_eval_step(model: DBTextModel, cfg):
     beta = float(cfg.optimizer.beta)
     negative_ratio = float(cfg.optimizer.negative_ratio)
-    reduction = ("mean" if (cfg.trainer
-                            and cfg.trainer.ohem_compat_mean_reduction)
-                 else "none")
+    # optimizer.reduction (the reference's key, example_config.yaml:73):
+    # 'mean' reproduces its degenerate OHEM exactly; 'none' = true per-pixel
+    reduction = str(cfg.optimizer.reduction or "mean")
     score_thresh = float(cfg.metric.thred_text_score)
 
     def eval_step(state: TrainState, batch: dict):

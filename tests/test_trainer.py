@@ -174,8 +174,7 @@ def test_training_with_true_ohem(synth, tmp_path):
     """reduction='none' (correct per-pixel OHEM) path trains under jit."""
     d, section = synth
     cfg = _small_cfg(tmp_path, section,
-                     trainer={"seed": 42,
-                              "ohem_compat_mean_reduction": False})
+                     optimizer={"reduction": "none"})
     train_loader, test_loader = _loaders(str(d), cfg)
     trainer = Trainer(cfg, train_loader, test_loader)
     state = trainer.init_state(image_size=128, batch_size=2)
