@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..postprocess import SegDetectorRepresenter
-from ..utils import draw_bbox, str_to_bool, test_preprocess, timer
+from ..utils import draw_bbox, str_to_bool, test_preprocess
 from ..utils.visualize import filter_zero_boxes
 from ..ops import geometry as geo
 from .common import load_model, make_forward

@@ -13,14 +13,11 @@ Eval mode  → (N, H, W, 2): prob map, threshold map.
 
 from __future__ import annotations
 
-from typing import Any
-
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import Dtype, resize_bilinear_align_corners
-from .resnet import BACKBONES, BACKBONE_OUT_CHANNELS
+from .resnet import BACKBONES
 from .fpn import NECKS
 from .head import HEADS
 

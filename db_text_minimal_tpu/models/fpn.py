@@ -10,8 +10,6 @@ defines but does not register it (``src/models.py:9``) — here it is registered
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -16,8 +16,6 @@ Init parity: Kaiming-normal convs, BN γ=1 β=1e-4 (:47-53).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -17,7 +17,6 @@ Inputs are (N, 32, 100, 1) grayscale crops normalized to [-1, 1]
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ its forward pass.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax.numpy as jnp

@@ -6,6 +6,12 @@ Caffe-mean subtract → model forward → per-image JSON with ``prob_mask`` /
 ``thresh_mask`` as uint8 (×255) nested lists. Box extraction stays
 client-side, as in the reference (SURVEY.md §3.4).
 
+One deliberate divergence: images are padded to the square 640 canvas
+(``pad=True``) where the reference used ``pad=False`` — its ``torch.cat``
+batching would crash on mixed aspect ratios anyway (``db_handler.py:86``);
+padding gives every request a static shape, so micro-batched requests share
+one compiled TPU program.
+
 The model can be a live (model, variables) pair or an AOT export artifact
 (``export.load_exported``). Lazy first-request initialization mirrors
 ``db_handler.py:109-120``.

@@ -84,3 +84,17 @@ def test_fast_boxes_low_score_rejected():
     img = _blob_image() * 0.4   # below box_thresh
     _, _, keep = fast_boxes(jnp.asarray(img), thresh=0.3, box_thresh=0.7)
     assert int(np.asarray(keep).sum()) == 0
+
+
+def test_step_timer():
+    import time
+
+    from db_text_minimal_tpu.utils.profiling import StepTimer, trace
+
+    t = StepTimer(warmup=1)
+    t.tick(4)                      # warmup step — not counted
+    time.sleep(0.05)
+    t.tick(4)
+    assert t.images_per_sec > 0
+    with trace(None):              # no-op path
+        pass
