@@ -46,7 +46,8 @@ class DBTextDetectionHandler:
 
             from ..cli.common import load_model
 
-            model, variables = load_model(self.model_path)
+            # serving uses the weight-equivalent fused inference head
+            model, variables = load_model(self.model_path, fuse_head=True)
 
             @jax.jit
             def fwd(x):

@@ -170,3 +170,35 @@ def test_torchvision_backbone_import(tmp_path):
     out = m.apply({"params": params, "batch_stats": stats},
                   jnp.zeros((1, 64, 64, 3)), train=False)
     assert out.shape == (1, 64, 64, 2)
+
+
+def test_fused_head_weight_equivalence():
+    """FusedDBHead with fused params must reproduce DBHead outputs
+    (inference-time MXU optimization, no retraining)."""
+    from db_text_minimal_tpu.models.head import DBHead, FusedDBHead, \
+        fuse_db_head_params
+
+    head = DBHead()
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 40, 40, 256).astype(np.float32))
+    v = head.init(jax.random.PRNGKey(1), x[:1])
+    ref = head.apply(v, x, train=False)
+
+    fp, fs = fuse_db_head_params(v["params"], v["batch_stats"])
+    fused = FusedDBHead()
+    out = fused.apply({"params": fp, "batch_stats": fs}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_full_model_equivalence():
+    from db_text_minimal_tpu.models.head import fuse_variables
+
+    m = DBTextModel()
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    ref = m.apply(v, x, train=False)
+    fused_vars = fuse_variables(v)
+    fm = DBTextModel(head_name="FusedDBHead")
+    out = fm.apply(fused_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
