@@ -39,7 +39,8 @@ class BaseDataset:
     def __init__(self, train_dir, train_gt_dir, ignore_tags,
                  is_training=True, image_size=640, min_text_size=8,
                  shrink_ratio=0.4, thresh_min=0.3, thresh_max=0.7,
-                 mean=CAFFE_MEAN, seed=42, debug=False):
+                 mean=CAFFE_MEAN, seed=42, debug=False,
+                 compact_dtypes: bool = False):
         self.train_dir = train_dir
         self.train_gt_dir = train_gt_dir
         self.ignore_tags = list(ignore_tags)
@@ -53,6 +54,10 @@ class BaseDataset:
         self.debug = debug
         self.seed = seed
         self.epoch = 0  # set by the loader; feeds per-sample aug RNGs
+        # compact_dtypes: emit uint8 images (mean subtraction moves onto the
+        # device) and uint8/float16 GT maps — a 3.5× smaller host→device
+        # transfer per batch. The reference ships full float32 CHW tensors.
+        self.compact_dtypes = compact_dtypes
 
         self.image_paths, self.all_anns = type(self).parser(
             train_dir, train_gt_dir)
@@ -89,6 +94,20 @@ class BaseDataset:
             anns, self.image_size, self.ignore_tags,
             min_text_size=self.min_text_size, shrink_ratio=self.shrink_ratio,
             thresh_min=self.thresh_min, thresh_max=self.thresh_max)
+
+        if self.compact_dtypes:
+            data = {
+                "image_path": image_path,
+                "img": np.ascontiguousarray(img, np.uint8),
+                "prob_map": gt.astype(np.uint8),
+                "supervision_mask": mask.astype(np.uint8),
+                "thresh_map": thresh_map.astype(np.float16),
+                "text_area_map": thresh_mask.astype(np.uint8),
+            }
+            if not self.is_training:
+                data["anns"] = [a["poly"] for a in anns]
+                data["ignore_tags"] = ignore_flags
+            return data
 
         img = img.astype(np.float32) - self.mean  # RGB-order Caffe means
 
@@ -260,6 +279,9 @@ def build_dataset(cfg, is_training: bool):
         is_training=is_training,
         image_size=cfg.hps.img_size,
         seed=cfg.trainer.seed if cfg.trainer else 42,
+        # compact host->device transfers (uint8 img + masks, f16 thresh);
+        # the trainer finishes preprocessing on device
+        compact_dtypes=True,
     )
 
 

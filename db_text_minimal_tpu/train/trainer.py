@@ -47,6 +47,24 @@ def array_batch(batch: dict) -> dict:
     return {k: batch[k] for k in ARRAY_KEYS if k in batch}
 
 
+def device_preprocess(batch: dict) -> dict:
+    """On-device tail of preprocessing for compact-dtype batches: uint8
+    image → float32 − Caffe means (RGB order, the reference quirk), compact
+    GT maps → float32. Float32 batches (mean already subtracted on host)
+    pass through — both pipelines produce identical values."""
+    from ..utils import CAFFE_MEAN
+
+    img = batch["img"]
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) - jnp.asarray(CAFFE_MEAN, jnp.float32)
+    out = {"img": img}
+    for key in ("prob_map", "supervision_mask", "thresh_map",
+                "text_area_map"):
+        if key in batch:
+            out[key] = batch[key].astype(jnp.float32)
+    return out
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
@@ -95,6 +113,8 @@ def build_train_step(model: DBTextModel, tx: optax.GradientTransformation,
     score_thresh = float(cfg.metric.thred_text_score)
 
     def train_step(state: TrainState, batch: dict, lr: jnp.ndarray):
+        batch = device_preprocess(batch)
+
         def loss_fn(params):
             preds, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -131,6 +151,7 @@ def build_eval_step(model: DBTextModel, cfg):
     score_thresh = float(cfg.metric.thred_text_score)
 
     def eval_step(state: TrainState, batch: dict):
+        batch = device_preprocess(batch)
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["img"], train=False)

@@ -263,3 +263,31 @@ def test_synthetic_curved_words(tmp_path):
                 found_curved = True
         assert sample["prob_map"].shape == (256, 256)
     assert found_curved
+
+
+def test_compact_dtypes_pipeline_equivalence(synth_dir):
+    """Compact-dtype batches + device_preprocess reproduce the float32
+    pipeline exactly (thresh map within float16 resolution)."""
+    import jax.numpy as jnp
+
+    from db_text_minimal_tpu.train.trainer import device_preprocess
+
+    kw = dict(ignore_tags=["###"], is_training=False)
+    ds_f32 = TotalTextDataset(os.path.join(synth_dir, "train_images"),
+                              os.path.join(synth_dir, "train_gts"), **kw)
+    ds_u8 = TotalTextDataset(os.path.join(synth_dir, "train_images"),
+                             os.path.join(synth_dir, "train_gts"),
+                             compact_dtypes=True, **kw)
+    a, b = ds_f32[0], ds_u8[0]
+    assert b["img"].dtype == np.uint8
+    assert b["prob_map"].dtype == np.uint8
+    assert b["thresh_map"].dtype == np.float16
+    dec = device_preprocess({k: jnp.asarray(v[None]) for k, v in b.items()
+                             if k != "image_path" and k != "anns"
+                             and k != "ignore_tags"})
+    np.testing.assert_allclose(np.asarray(dec["img"][0]), a["img"],
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(dec["prob_map"][0]),
+                                  a["prob_map"])
+    np.testing.assert_allclose(np.asarray(dec["thresh_map"][0]),
+                               a["thresh_map"], atol=2e-3)
