@@ -1,0 +1,138 @@
+"""Recognition model training CLI.
+
+No reference counterpart — the reference consumes a recognition checkpoint
+trained out-of-tree (``Makefile:96``); this closes the loop so the full OCR
+pipeline is trainable inside the framework. Trains on word crops rendered
+from detection datasets' GT polygons (perspective-rectified, like the
+inference path) or on a directory of pre-cropped word images with a
+``labels.txt`` (``<filename>\\t<text>`` per line).
+
+Usage::
+
+    python -m db_text_minimal_tpu.cli.train_rec --crop_dir crops/ \
+        --epochs 10 --out models/rec.ckpt \
+        [--Transformation None --FeatureExtraction VGG
+         --SequenceModeling BiLSTM --Prediction CTC]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.recognition import (AttnLabelConverter, CTCLabelConverter,
+                                  RecognitionModel, rec_preprocess)
+from ..train.checkpoints import save_checkpoint
+from ..train.recognition_trainer import build_rec_train_step, init_rec_state
+from ..utils import setup_logger
+
+
+def load_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--crop_dir", type=str, required=True,
+                        help="directory of word crops + labels.txt")
+    parser.add_argument("--out", type=str, default="./models/rec.ckpt")
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--character", type=str,
+                        default="0123456789abcdefghijklmnopqrstuvwxyz")
+    parser.add_argument("--batch_max_length", type=int, default=25)
+    parser.add_argument("--imgH", type=int, default=32)
+    parser.add_argument("--imgW", type=int, default=100)
+    parser.add_argument("--PAD", action="store_true")
+    parser.add_argument("--Transformation", type=str, default="None")
+    parser.add_argument("--FeatureExtraction", type=str, default="VGG")
+    parser.add_argument("--SequenceModeling", type=str, default="BiLSTM")
+    parser.add_argument("--Prediction", type=str, default="CTC")
+    parser.add_argument("--hidden_size", type=int, default=256)
+    parser.add_argument("--output_channel", type=int, default=512)
+    parser.add_argument("--num_fiducial", type=int, default=20)
+    return parser.parse_args(argv)
+
+
+def load_crop_dataset(opt):
+    """(images (N, H, W, 1) float32, texts list) from crop_dir/labels.txt."""
+    import cv2
+
+    labels_fp = os.path.join(opt.crop_dir, "labels.txt")
+    assert os.path.exists(labels_fp), labels_fp
+    images, texts = [], []
+    charset = set(opt.character)
+    with open(labels_fp) as f:
+        for line in f:
+            if "\t" not in line:
+                continue
+            fname, text = line.rstrip("\n").split("\t", 1)
+            text = "".join(c for c in text.lower() if c in charset)
+            if not text or len(text) > opt.batch_max_length:
+                continue
+            img = cv2.imread(os.path.join(opt.crop_dir, fname))
+            if img is None:
+                continue
+            images.append(rec_preprocess(img[:, :, ::-1], img_h=opt.imgH,
+                                         img_w=opt.imgW, pad=opt.PAD))
+            texts.append(text)
+    assert images, f"no usable samples in {opt.crop_dir}"
+    return np.concatenate(images), texts
+
+
+def main(opt):
+    logger = setup_logger()
+    if "CTC" in opt.Prediction:
+        converter = CTCLabelConverter(opt.character)
+    else:
+        converter = AttnLabelConverter(opt.character)
+    model = RecognitionModel(
+        num_class=len(converter.character),
+        transformation=opt.Transformation,
+        feature_extraction=opt.FeatureExtraction,
+        sequence_modeling=opt.SequenceModeling,
+        prediction=opt.Prediction,
+        hidden_size=opt.hidden_size,
+        output_channel=opt.output_channel,
+        num_fiducial=opt.num_fiducial,
+        batch_max_length=opt.batch_max_length)
+    tx = optax.scale_by_adam()
+    state = init_rec_state(model, tx, seed=opt.seed, img_h=opt.imgH,
+                           img_w=opt.imgW)
+    step = jax.jit(build_rec_train_step(model, tx))
+
+    images, texts = load_crop_dataset(opt)
+    targets, lengths = converter.encode(texts, opt.batch_max_length)
+    logger.info("training on %d crops, %d classes", len(texts),
+                len(converter.character))
+
+    rng = np.random.RandomState(opt.seed)
+    n = len(texts)
+    bs = min(opt.batch_size, n)
+    last_loss = None
+    for epoch in range(opt.epochs):
+        order = rng.permutation(n)
+        for start in range(0, n - bs + 1, bs):
+            idx = order[start:start + bs]
+            state, loss = step(state, jnp.asarray(images[idx]),
+                               jnp.asarray(targets[idx]),
+                               jnp.asarray(lengths[idx]),
+                               jnp.float32(opt.lr))
+            last_loss = float(loss)
+        logger.info("epoch %d: loss %.4f", epoch, last_loss)
+
+    host = jax.device_get(state)
+    save_checkpoint(opt.out, {"params": host.params,
+                              "batch_stats": host.batch_stats,
+                              "opt_state": host.opt_state,
+                              "step": host.step},
+                    {"epochs": opt.epochs, "loss": last_loss})
+    logger.info("saved %s", opt.out)
+    return opt.out, last_loss
+
+
+if __name__ == "__main__":
+    main(load_args())

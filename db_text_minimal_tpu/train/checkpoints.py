@@ -27,24 +27,48 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, state: dict[str, Any],
-                    metadata: dict | None = None) -> None:
-    """Serialize a state pytree (params/batch_stats/opt_state/step/...)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    blob = serialization.to_bytes(_to_host(state))
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+                    metadata: dict | None = None,
+                    backend: str = "flax") -> None:
+    """Serialize a state pytree (params/batch_stats/opt_state/step/...).
+
+    ``backend='flax'`` (default): one msgpack file — simple, portable.
+    ``backend='orbax'``: an orbax ``StandardCheckpointer`` directory at
+    ``path`` — async-friendly and multi-host-aware for pod-scale jobs."""
+    state = _to_host(state)
+    if backend == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), state)
+        ckptr.wait_until_finished()
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = serialization.to_bytes(state)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
     if metadata is not None:
-        with open(path + ".json", "w") as f:
+        with open(path.rstrip("/") + ".json", "w") as f:
             json.dump(metadata, f, indent=2, default=str)
 
 
 def restore_checkpoint(path: str, template: dict[str, Any]) -> dict[str, Any]:
-    """Restore into the structure of ``template``."""
+    """Restore into the structure of ``template`` (auto-detects backend:
+    orbax checkpoints are directories, flax msgpack are files)."""
+    template = _to_host(template)
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path), template)
     with open(path, "rb") as f:
         blob = f.read()
-    return serialization.from_bytes(_to_host(template), blob)
+    return serialization.from_bytes(template, blob)
 
 
 def load_params_any(path: str, template: dict[str, Any] | None = None):

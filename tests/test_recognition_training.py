@@ -1,6 +1,8 @@
 """Recognition training tests: CTC and attention losses decrease on a tiny
 synthetic glyph dataset (rendered digits)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -53,3 +55,38 @@ def test_recognition_loss_decreases(rng, prediction):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_train_rec_cli_end_to_end(tmp_path, rng):
+    """train_rec CLI: crop dir + labels.txt -> trained checkpoint that the
+    OCR predict path can load."""
+    import cv2
+
+    from db_text_minimal_tpu.cli import train_rec
+
+    crop_dir = tmp_path / "crops"
+    crop_dir.mkdir()
+    lines = []
+    for i, word in enumerate(["01", "23", "45"] * 2):
+        img = np.zeros((32, 100), np.uint8)
+        cv2.putText(img, word, (4, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.8, 255,
+                    2)
+        cv2.imwrite(str(crop_dir / f"w{i}.jpg"), img)
+        lines.append(f"w{i}.jpg\t{word}")
+    (crop_dir / "labels.txt").write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "rec.ckpt")
+    opt = train_rec.load_args([
+        "--crop_dir", str(crop_dir), "--out", out, "--epochs", "3",
+        "--batch_size", "6", "--FeatureExtraction", "VGG",
+        "--SequenceModeling", "None", "--Prediction", "CTC",
+        "--output_channel", "128", "--hidden_size", "64"])
+    path, loss = train_rec.main(opt)
+    assert os.path.exists(path)
+    assert np.isfinite(loss)
+
+    # the OCR pipeline loads the produced checkpoint
+    from db_text_minimal_tpu.train.checkpoints import load_params_any
+
+    variables = load_params_any(path)
+    assert "params" in variables

@@ -180,3 +180,17 @@ def test_training_with_true_ohem(synth, tmp_path):
     state = trainer.init_state(image_size=128, batch_size=2)
     state, loss, _, _ = trainer.train_epoch(state, 0)
     assert np.isfinite(loss) and loss > 0
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    from db_text_minimal_tpu.train import restore_checkpoint, save_checkpoint
+
+    tree = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "step": np.asarray(7, np.int32)}
+    path = str(tmp_path / "cp_orbax")
+    save_checkpoint(path, tree, {"note": "orbax"}, backend="orbax")
+    assert os.path.isdir(path)
+    restored = restore_checkpoint(path, jax.tree.map(np.zeros_like, tree))
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  tree["params"]["w"])
+    assert int(restored["step"]) == 7
