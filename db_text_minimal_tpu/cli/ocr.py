@@ -111,7 +111,10 @@ def detect_and_crop(opt, dbnet, det_vars, img_origin, h_origin, w_origin):
             os.remove(f)
         for index, box in enumerate(box_list):
             src = np.asarray(box, np.float64)
-            matrix = geo.get_perspective_transform(src, dst)
+            try:
+                matrix = geo.get_perspective_transform(src, dst)
+            except ValueError:
+                continue  # degenerate (collinear) box: nothing to rectify
             warp = geo.warp_perspective(img_origin, matrix, (w_, h_))
             import cv2
 

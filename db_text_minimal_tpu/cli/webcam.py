@@ -100,8 +100,11 @@ def process_frame(args, frame, forward, det_vars, seg_obj, rec=None):
         for box, score in zip(box_list, score_list):
             if score < args.box_thresh:
                 continue
-            matrix = geo.get_perspective_transform(
-                np.asarray(box, np.float64), dst)
+            try:
+                matrix = geo.get_perspective_transform(
+                    np.asarray(box, np.float64), dst)
+            except ValueError:
+                continue  # degenerate (collinear) box
             crops.append(geo.warp_perspective(frame[:, :, ::-1], matrix,
                                               (w_, h_)))
             coords.append(np.asarray(box).tolist()[0])
