@@ -39,6 +39,11 @@ def load_args(argv=None):
     parser.add_argument("--backbone", type=str, default="resnet18")
     parser.add_argument("--save_dir", type=str, default="./assets")
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="batch images through the model (pads each to "
+                             "the square canvas so shapes stay static; >1 "
+                             "is a TPU-throughput upgrade over the "
+                             "reference's one-image-at-a-time loop)")
     parser.add_argument("--thresh", type=float, default=0.3)
     parser.add_argument("--box_thresh", type=float, default=0.5)
     parser.add_argument("--unclip_ratio", type=float, default=1.5)
@@ -80,6 +85,45 @@ def export_gts(args, img_fps: list[str]) -> None:
     print(f"wrote {len(gts)} GT entries to {args.gts_fp}")
 
 
+def _predict_one(forward, variables, seg_obj, args, img_origin, h_origin,
+                 w_origin):
+    tmp_img = test_preprocess(img_origin)
+    batch = {"shape": [(h_origin, w_origin)]}
+    preds = np.asarray(forward(variables, jnp.asarray(tmp_img)))
+    box_list, score_list = seg_obj(batch, preds,
+                                   is_output_polygon=args.is_output_polygon)
+    return filter_zero_boxes(box_list[0], score_list[0],
+                             args.is_output_polygon)
+
+
+def _predict_batched(forward, variables, seg_obj, args, images, sizes,
+                     canvas: int = 640):
+    """Batch forward over square-padded images (static shapes → one compiled
+    program), then per-image postprocess. With pad, content occupies
+    [0 : size·s] of the canvas at scale s = canvas/max(h, w); postprocess
+    rescales by dest/canvas, so dest = max(h, w) maps predictions back to
+    original coordinates (then clip to the true image bounds)."""
+    batch_imgs = np.concatenate(
+        [test_preprocess(img, pad=True, size=canvas) for img in images])
+    preds = np.asarray(forward(variables, jnp.asarray(batch_imgs)))
+    results = []
+    for i, (h_origin, w_origin) in enumerate(sizes):
+        side = max(h_origin, w_origin)
+        batch = {"shape": [(side, side)]}
+        box_list, score_list = seg_obj(
+            batch, preds[i:i + 1], is_output_polygon=args.is_output_polygon)
+        boxes, scores = filter_zero_boxes(box_list[0], score_list[0],
+                                          args.is_output_polygon)
+        clipped = []
+        for b in boxes:
+            b = np.asarray(b).astype(np.float64)
+            b[:, 0] = np.clip(b[:, 0], 0, w_origin)
+            b[:, 1] = np.clip(b[:, 1], 0, h_origin)
+            clipped.append(b.astype(np.int64))
+        results.append((clipped, scores))
+    return results
+
+
 def main(args):
     """``src/make_eval.py:54-122``."""
     net, variables = load_model(args.model_path, backbone=args.backbone)
@@ -91,25 +135,44 @@ def main(args):
     test_img_fps = sorted(glob.glob(os.path.join(args.image_dir, "*")))
     result_poly_preds = []
     img_fns = []
-    for test_img_fp in test_img_fps:
-        try:
-            img_fns.append(test_img_fp.split("/")[-1])
-            img_origin, h_origin, w_origin = read_img(test_img_fp)
-            tmp_img = test_preprocess(img_origin)
-            batch = {"shape": [(h_origin, w_origin)]}
-            preds = np.asarray(forward(variables, jnp.asarray(tmp_img)))
-            box_list, score_list = seg_obj(
-                batch, preds, is_output_polygon=args.is_output_polygon)
-            box_list, score_list = filter_zero_boxes(
-                box_list[0], score_list[0], args.is_output_polygon)
-            result_poly_preds.append([
-                {"points": [tuple(p) for p in np.asarray(b).tolist()],
-                 "text": "text_sample", "ignore": False}
-                for b in box_list])
-        except Exception as e:  # per-image skip (src/make_eval.py:114-119)
-            print(type(e).__name__, e, test_img_fp, file=sys.stderr)
-            result_poly_preds.append([])
-            continue
+
+    def to_records(box_list):
+        return [{"points": [tuple(p) for p in np.asarray(b).tolist()],
+                 "text": "text_sample", "ignore": False} for b in box_list]
+
+    if args.batch_size > 1:
+        for start in range(0, len(test_img_fps), args.batch_size):
+            chunk = test_img_fps[start:start + args.batch_size]
+            images, sizes = [], []
+            for fp in chunk:
+                img_fns.append(fp.split("/")[-1])
+                img, h, w = read_img(fp)
+                images.append(img)
+                sizes.append((h, w))
+            # static shapes: pad the tail chunk to the full batch
+            pad_n = args.batch_size - len(images)
+            images += [images[-1]] * pad_n
+            sizes += [sizes[-1]] * pad_n
+            try:
+                results = _predict_batched(forward, variables, seg_obj,
+                                           args, images, sizes)
+                for boxes, _ in results[:len(chunk)]:
+                    result_poly_preds.append(to_records(boxes))
+            except Exception as e:
+                print(type(e).__name__, e, chunk[0], file=sys.stderr)
+                result_poly_preds.extend([[] for _ in chunk])
+    else:
+        for test_img_fp in test_img_fps:
+            try:
+                img_fns.append(test_img_fp.split("/")[-1])
+                img_origin, h_origin, w_origin = read_img(test_img_fp)
+                boxes, _ = _predict_one(forward, variables, seg_obj, args,
+                                        img_origin, h_origin, w_origin)
+                result_poly_preds.append(to_records(boxes))
+            except Exception as e:  # per-image skip (make_eval.py:114-119)
+                print(type(e).__name__, e, test_img_fp, file=sys.stderr)
+                result_poly_preds.append([])
+                continue
 
     os.makedirs(os.path.dirname(args.preds_fp) or ".", exist_ok=True)
     with open(args.preds_fp, "wb") as f:

@@ -282,3 +282,35 @@ def test_cli_accepts_reference_pth_checkpoint(tmp_path):
         "--save_dir", str(tmp_path), "--heatmap", "true"])
     out = test_cli.main(args)
     assert os.path.exists(out)
+
+
+def test_make_eval_batched_matches_single(trained, tmp_path):
+    """Batched make_eval (padded square canvas) detects the same regions as
+    the per-image path."""
+    from db_text_minimal_tpu.cli import make_eval
+    from db_text_minimal_tpu.ops import geometry as geo
+
+    common = [
+        "--image_dir", trained["section"]["test_dir"],
+        "--model_path", trained["ckpt"],
+        "--thresh", "0.3", "--box_thresh", "0.1",
+        "--img_fns_fp", str(tmp_path / "fns.pkl"),
+    ]
+    p1 = str(tmp_path / "p1.pkl")
+    p2 = str(tmp_path / "p2.pkl")
+    make_eval.main(make_eval.load_args(common + ["--preds_fp", p1]))
+    make_eval.main(make_eval.load_args(
+        common + ["--preds_fp", p2, "--batch_size", "2"]))
+    with open(p1, "rb") as f:
+        single = pickle.load(f)
+    with open(p2, "rb") as f:
+        batched = pickle.load(f)
+    assert len(single) == len(batched)
+    for s_img, b_img in zip(single, batched):
+        assert len(s_img) == len(b_img)
+        for s_rec in s_img:
+            best = max(
+                (geo.intersection_area(s_rec["points"], b_rec["points"])
+                 / max(geo.union_area(s_rec["points"], b_rec["points"]),
+                       1e-9) for b_rec in b_img), default=0.0)
+            assert best > 0.85, (s_rec, b_img)
