@@ -98,3 +98,29 @@ def test_step_timer():
     assert t.images_per_sec > 0
     with trace(None):              # no-op path
         pass
+
+
+def test_quant_inference_runs_and_tracks_float():
+    """Experimental int8 PTQ path (head kept float): runs and stays close
+    to the float forward away from sigmoid cliffs."""
+    import jax
+    import jax.numpy as jnp
+
+    from db_text_minimal_tpu.models import DBTextModel
+    from db_text_minimal_tpu.models.quant_infer import (
+        prepare_quant_params, quant_dbnet_forward)
+
+    m = DBTextModel()
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
+        * 255 - 115)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(m.apply(v, x, train=False))
+    qv = prepare_quant_params(jax.device_get(v))
+    # head kernels stay float; backbone kernels are int8
+    assert qv["params"]["backbone"]["conv1"]["kernel"].dtype == np.int8
+    assert "kernel_scale" not in \
+        qv["params"]["segmentation_head"]["binarize"]["conv1"]
+    out = np.asarray(quant_dbnet_forward(qv, x))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).mean() < 0.02
