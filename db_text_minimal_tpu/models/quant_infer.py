@@ -67,10 +67,14 @@ def prepare_quant_params(variables: dict,
             "batch_stats": variables.get("batch_stats", {})}
 
 
+_CALIBRATION: list | None = None
+
+
 def _qconv(x, params, stride=1, pad=1, transpose=False):
-    """Dynamically-quantized conv: per-tensor activation scale, int8×int8 →
-    int32, dequantized. Deconvs (2×2/2) stay in bf16 — tiny FLOPs, and int8
-    transposed conv lowers poorly."""
+    """Quantized conv: int8×int8 → int32, dequantized. The activation scale
+    is static when calibrated (``act_scale`` present — no reduction in the
+    hot path), dynamic per-tensor otherwise. Deconvs (2×2/2) stay in bf16 —
+    tiny FLOPs, and int8 transposed conv lowers poorly."""
     kernel = params["kernel"]
     if transpose or kernel.dtype != jnp.int8:
         k = jnp.asarray(kernel, jnp.bfloat16)
@@ -87,7 +91,12 @@ def _qconv(x, params, stride=1, pad=1, transpose=False):
                     x.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
         y = y.astype(jnp.float32)
     else:
-        sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6) / 127.0
+        if _CALIBRATION is not None:
+            _CALIBRATION.append(jnp.max(jnp.abs(x)))
+        if "act_scale" in params:
+            sx = jnp.asarray(params["act_scale"], jnp.float32)
+        else:
+            sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6) / 127.0
         qx = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             qx, kernel, (stride, stride), [(pad, pad), (pad, pad)],
@@ -98,6 +107,60 @@ def _qconv(x, params, stride=1, pad=1, transpose=False):
     if "bias" in params:
         y = y + jnp.asarray(params["bias"], jnp.float32)
     return y
+
+
+def calibrate_activation_scales(qvars: dict, sample_batches) -> dict:
+    """Bake static per-conv activation scales into a quantized variables
+    tree: run the (dynamic) quant forward over calibration batches recording
+    each quantized conv's abs-max, then attach ``act_scale = max/127`` to
+    every int8 kernel in traversal order (the forward visits convs in a
+    deterministic order)."""
+    global _CALIBRATION
+    maxes = None
+    for batch in sample_batches:
+        _CALIBRATION = []
+        quant_dbnet_forward(qvars, jnp.asarray(batch))
+        batch_maxes = np.asarray([float(v) for v in _CALIBRATION])
+        _CALIBRATION = None
+        maxes = batch_maxes if maxes is None else np.maximum(maxes,
+                                                             batch_maxes)
+    ordered = _forward_conv_order(qvars["params"])
+    assert len(ordered) == len(maxes), (len(ordered), len(maxes))
+    for node, scale in zip(ordered, np.maximum(maxes, 1e-6) / 127.0):
+        node["act_scale"] = np.float32(scale)
+    return qvars
+
+
+def _forward_conv_order(p: dict) -> list:
+    """The int8-conv param dicts in the exact order quant_dbnet_forward
+    executes them."""
+    order = []
+    bp = p["backbone"]
+    order.append(bp["conv1"])
+    for stage in range(1, 5):
+        for block in range(2):
+            blk = bp[f"layer{stage}_{block}"]
+            order.append(blk["conv1"])
+            order.append(blk["conv2"])
+            if "downsample_conv" in blk:
+                order.append(blk["downsample_conv"])
+    np_ = p["segmentation_body"]
+    order.append(np_["reduce_conv_c5"]["conv"])
+    order.append(np_["reduce_conv_c4"]["conv"])
+    order.append(np_["smooth_p4"]["conv"])
+    order.append(np_["reduce_conv_c3"]["conv"])
+    order.append(np_["smooth_p3"]["conv"])
+    order.append(np_["reduce_conv_c2"]["conv"])
+    order.append(np_["smooth_p2"]["conv"])
+    order.append(np_["conv"])
+    # head convs only when quantized (not in DEFAULT_SKIP runs)
+    hp = p.get("segmentation_head", {})
+    for branch in ("binarize", "thresh"):
+        conv1 = hp.get(branch, {}).get("conv1", {})
+        if getattr(conv1.get("kernel", None), "dtype", None) == np.int8:
+            order.append(conv1)
+    return [node for node in order
+            if getattr(node.get("kernel", None), "dtype", None) == np.int8]
 
 
 def _bn(x, params, stats, eps=1e-5):
