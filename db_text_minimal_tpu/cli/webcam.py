@@ -32,6 +32,7 @@ def load_args(argv=None):
     """``src/test_webcam.py:27-116``."""
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--recognize", action="store_true")
+    parser.add_argument("--debug", action="store_true")
     parser.add_argument("--show_video", action="store_true")
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--workers", type=int, default=1)

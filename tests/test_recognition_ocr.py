@@ -196,3 +196,37 @@ def test_webcam_video_mode(det_ckpt, tmp_path):
     count = webcam.main(args)
     assert count == 4
     assert os.path.exists(out_path) and os.path.getsize(out_path) > 0
+
+
+def test_webcam_video_with_recognition(det_ckpt, tmp_path):
+    """Video mode with --recognize: detection boxes feed perspective crops
+    into the (random-init) recognition model; overlay text is rendered."""
+    import cv2
+
+    from db_text_minimal_tpu.cli import webcam
+
+    ckpt, sample = det_ckpt
+    frame = cv2.imread(sample)
+    video_path = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (frame.shape[1], frame.shape[0]))
+    for _ in range(2):
+        writer.write(frame)
+    writer.release()
+
+    out_path = str(tmp_path / "out.mp4")
+    args = webcam.load_args([
+        "--det_model_path", ckpt,
+        "--video_path", video_path,
+        "--out_path", out_path,
+        "--per_frame", "1",
+        "--recognize",
+        "--thresh", "0.3", "--box_thresh", "0.1",
+        "--max_frames", "2",
+        "--FeatureExtraction", "VGG", "--SequenceModeling", "None",
+        "--Prediction", "CTC", "--output_channel", "128",
+        "--hidden_size", "64",
+    ])
+    count = webcam.main(args)
+    assert count == 2
+    assert os.path.exists(out_path) and os.path.getsize(out_path) > 0
