@@ -283,6 +283,51 @@ class Trainer:
         train_loss = 0.0
         n_batches = 0
         last = (None, None)
+        # Metrics stay on device between log points: materializing them
+        # per-step (float()/np.asarray) inserts a host sync after every step
+        # and stalls the dispatch pipeline. The reference logged every step
+        # (src/train.py:188-201); here scalars flush every log_iter steps.
+        log_iter = int(cfg.hps.log_iter)
+        loss_sum = jnp.float32(0)
+        hist_sum = jnp.zeros((2, 2), jnp.float32)
+        pending: list = []   # (global_step, lr, loss_out) awaiting flush
+
+        def flush(final: bool = False):
+            nonlocal pending
+            for gs, lr_v, lo in pending:
+                if self.tb_writer is not None:
+                    w = self.tb_writer
+                    w.add_scalar("TRAIN/LOSS/total_loss",
+                                 float(lo.total_loss), gs)
+                    w.add_scalar("TRAIN/LOSS/loss",
+                                 float(lo.prob_threshold_loss), gs)
+                    w.add_scalar("TRAIN/LOSS/prob_loss",
+                                 float(lo.prob_loss), gs)
+                    w.add_scalar("TRAIN/LOSS/threshold_loss",
+                                 float(lo.threshold_loss), gs)
+                    w.add_scalar("TRAIN/LOSS/binary_loss",
+                                 float(lo.binary_loss), gs)
+                    w.add_scalar("TRAIN/HPs/lr", lr_v, gs)
+            if pending:
+                gs, lr_v, lo = pending[-1]
+                running.confusion_matrix = np.asarray(hist_sum,
+                                                      dtype=np.float64)
+                scores, _ = running.get_scores()
+                if self.tb_writer is not None:
+                    self.tb_writer.add_scalar("TRAIN/ACC_IOU/acc",
+                                              scores["Mean Acc"], gs)
+                    self.tb_writer.add_scalar(
+                        "TRAIN/ACC_IOU/iou_shrink_map", scores["Mean IoU"],
+                        gs)
+                if not final:
+                    self.logger.info(
+                        "[%d-%d] - lr: %g - total_loss: %.5f - loss: %.5f "
+                        "- acc: %.4f - iou: %.4f", epoch + 1, gs, lr_v,
+                        float(lo.total_loss),
+                        float(lo.prob_threshold_loss),
+                        scores["Mean Acc"], scores["Mean IoU"])
+            pending = []
+
         for batch in self.train_loader:
             lr = self.current_lr()
             self.global_step += 1
@@ -290,37 +335,15 @@ class Trainer:
             device_batch = shard_batch(array_batch(batch), self.mesh)
             state, loss_out, hist, preds = self._train_step(
                 state, device_batch, jnp.float32(lr))
-            running.confusion_matrix += np.asarray(hist)
-            total = float(loss_out.total_loss)   # forces step completion
+            loss_sum = loss_sum + loss_out.total_loss   # device-side
+            hist_sum = hist_sum + hist
             timer.tick(batch["img"].shape[0])
-            train_loss += total
             last = (batch, preds)
-
-            if self.tb_writer is not None:
-                gs = self.global_step
-                w = self.tb_writer
-                w.add_scalar("TRAIN/LOSS/total_loss", total, gs)
-                w.add_scalar("TRAIN/LOSS/loss",
-                             float(loss_out.prob_threshold_loss), gs)
-                w.add_scalar("TRAIN/LOSS/prob_loss",
-                             float(loss_out.prob_loss), gs)
-                w.add_scalar("TRAIN/LOSS/threshold_loss",
-                             float(loss_out.threshold_loss), gs)
-                w.add_scalar("TRAIN/LOSS/binary_loss",
-                             float(loss_out.binary_loss), gs)
-                scores, _ = running.get_scores()
-                w.add_scalar("TRAIN/ACC_IOU/acc", scores["Mean Acc"], gs)
-                w.add_scalar("TRAIN/ACC_IOU/iou_shrink_map",
-                             scores["Mean IoU"], gs)
-                w.add_scalar("TRAIN/HPs/lr", lr, gs)
-
-            if self.global_step % int(cfg.hps.log_iter) == 0:
-                scores, _ = running.get_scores()
-                self.logger.info(
-                    "[%d-%d] - lr: %g - total_loss: %.5f - loss: %.5f - "
-                    "acc: %.4f - iou: %.4f", epoch + 1, self.global_step, lr,
-                    total, float(loss_out.prob_threshold_loss),
-                    scores["Mean Acc"], scores["Mean IoU"])
+            pending.append((self.global_step, lr, loss_out))
+            if self.global_step % log_iter == 0:
+                flush()
+        flush(final=True)
+        train_loss = float(loss_sum)
         ips = timer.images_per_sec
         if ips > 0:
             # images/sec/chip: the BASELINE metric, reported per epoch
