@@ -194,3 +194,25 @@ def test_orbax_checkpoint_backend(tmp_path):
     np.testing.assert_array_equal(restored["params"]["w"],
                                   tree["params"]["w"])
     assert int(restored["step"]) == 7
+
+
+def test_eval_epoch_with_batch_size_two(synth, tmp_path):
+    """Batched evaluation: the reference forced test_batch_size=1
+    (example_config.yaml:10); our eval loop handles >1 (anns ride along as
+    per-image lists, postprocess iterates the batch)."""
+    d, section = synth
+    cfg = _small_cfg(tmp_path, section)
+    cfg.hps.test_batch_size = 2
+    train_loader, _ = _loaders(str(d), cfg)
+    from db_text_minimal_tpu.data import DataLoader as DL
+    from db_text_minimal_tpu.data import TotalTextDataset as TT
+
+    test_loader = DL(TT(os.path.join(str(d), "test_images"),
+                        os.path.join(str(d), "test_gts"), ["###"],
+                        is_training=False, image_size=128),
+                     2, prefetch=0)
+    trainer = Trainer(cfg, train_loader, test_loader)
+    state = trainer.init_state(image_size=128, batch_size=2)
+    test_loss, running, recall, precision, hmean = trainer.eval_epoch(state)
+    assert np.isfinite(test_loss)
+    assert 0.0 <= hmean <= 1.0
