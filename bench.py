@@ -12,7 +12,8 @@ Method: N eval-mode forwards chained inside one jit via ``lax.scan`` (each
 iteration reads a perturbed input so nothing folds away), timed around a
 single device call — this measures device throughput without the per-call
 RPC latency of the tunneled TPU runtime, whose ``block_until_ready`` is
-fire-and-forget.
+fire-and-forget. The reported number is the MEDIAN of ``repeats`` timed
+scans (after one warm-up/compile scan), so one slow RPC cannot skew it.
 """
 
 import json
@@ -26,7 +27,8 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC_PER_CHIP = 125.0
 
 
-def bench(batch_size: int, steps: int = 20, size: int = 640) -> float:
+def bench(batch_size: int, steps: int = 20, size: int = 640,
+          repeats: int = 3) -> float:
     from db_text_minimal_tpu.models import DBTextModel
     from db_text_minimal_tpu.models.head import fuse_variables
 
@@ -52,9 +54,12 @@ def bench(batch_size: int, steps: int = 20, size: int = 640) -> float:
     x = jnp.asarray(np.random.RandomState(0)
                     .rand(batch_size, size, size, 3).astype(np.float32))
     float(forward_n(variables, x, steps))  # compile + warm
-    t0 = time.perf_counter()
-    float(forward_n(variables, x, steps))  # forces completion (scalar D2H)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(forward_n(variables, x, steps))  # forces completion (D2H)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median
     return batch_size * steps / dt
 
 
