@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.parsers import PARSERS
-from ..postprocess import SegDetectorRepresenter
+from ..postprocess import DeviceBoxRepresenter, SegDetectorRepresenter
 from ..utils import read_img, test_preprocess, str_to_bool
 from ..utils.visualize import filter_zero_boxes
 from .common import load_model, make_forward
@@ -48,6 +48,11 @@ def load_args(argv=None):
     parser.add_argument("--box_thresh", type=float, default=0.5)
     parser.add_argument("--unclip_ratio", type=float, default=1.5)
     parser.add_argument("--is_output_polygon", type=str_to_bool, default=True)
+    parser.add_argument("--device_boxes", type=str_to_bool, default=True,
+                        help="rect mode only: extract oriented boxes on "
+                             "device (threshold+CC+min-rects under jit; K "
+                             "records D2H instead of full maps). Ignored "
+                             "when --is_output_polygon.")
     parser.add_argument("--preds_fp", type=str,
                         default="./data/result_poly_preds.pkl")
     parser.add_argument("--img_fns_fp", type=str,
@@ -128,9 +133,11 @@ def main(args):
     """``src/make_eval.py:54-122``."""
     net, variables = load_model(args.model_path, backbone=args.backbone)
     forward = make_forward(net)
-    seg_obj = SegDetectorRepresenter(thresh=args.thresh,
-                                     box_thresh=args.box_thresh,
-                                     unclip_ratio=args.unclip_ratio)
+    rep_cls = (DeviceBoxRepresenter
+               if args.device_boxes and not args.is_output_polygon
+               else SegDetectorRepresenter)
+    seg_obj = rep_cls(thresh=args.thresh, box_thresh=args.box_thresh,
+                      unclip_ratio=args.unclip_ratio)
 
     test_img_fps = sorted(glob.glob(os.path.join(args.image_dir, "*")))
     result_poly_preds = []

@@ -135,6 +135,10 @@ def default_config() -> ConfigNode:
             "prob_threshold": 0.50,
             "unclip_ratio": 1.50,
             "is_output_polygon": True,
+            # rect-mode eval runs the on-device box extractor by default
+            # (new capability; host SegDetectorRepresenter remains the
+            # parity path and the only polygon-mode path)
+            "device_boxes": True,
         },
         "parallel": {
             "data_axis": "data",

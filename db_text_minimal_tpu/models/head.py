@@ -67,8 +67,12 @@ class DBHead(nn.Module):
         threshold_maps = _Branch(first_conv_bias=False, dtype=self.dtype,
                                  name="thresh")(x, train=train)
         if train:
-            # step_function (:106-108): differentiable binarization
-            binary_maps = nn.sigmoid(self.k * (shrink_maps - threshold_maps))
+            # step_function (:106-108): differentiable binarization, as the
+            # guaranteed-fused Pallas kernel on TPU (analytic VJP); plain
+            # σ elsewhere — ops/pallas/db_step.py
+            from ..ops.pallas.db_step import db_step
+
+            binary_maps = db_step(shrink_maps, threshold_maps, self.k)
             return jnp.concatenate(
                 [shrink_maps, threshold_maps, binary_maps], axis=-1)
         return jnp.concatenate([shrink_maps, threshold_maps], axis=-1)

@@ -87,6 +87,39 @@ def connected_components(bitmap: jnp.ndarray,
     return jnp.where(mask, label, -1)
 
 
+def _compact_slots(flat_labels: jnp.ndarray, max_components: int):
+    """Compact arbitrary component label ids (= linear index of each
+    component's min pixel; background -1) into slots [0, max_components).
+
+    Sort-free (the previous ``jnp.unique`` compaction spent most of
+    ``fast_boxes``'s time in its O(N log N) sort): a pixel is its
+    component's *root* iff its own linear index equals its label, so the
+    rank of a root among all roots (an associative-scan cumsum) is its
+    component's slot. Sorted root indices come from a segment-min scatter
+    into ``max_components + 1`` buckets; every pixel then finds its slot by
+    binary-searching its label in that tiny sorted table. Overflow
+    components and background land in the dropped slot ``max_components``.
+
+    Returns (keyed (N,) int32 slot per pixel, valid_root (K,) bool).
+    """
+    n = flat_labels.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_root = flat_labels == idx
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1   # slot at root pixels
+    bucket = jnp.where(is_root, jnp.minimum(rank, max_components),
+                       max_components)
+    root_idx = jnp.full((max_components + 1,), _INF, jnp.int32)
+    root_idx = root_idx.at[bucket].min(jnp.where(is_root, idx, _INF))
+    is_fg = flat_labels >= 0
+    fg_labels = jnp.where(is_fg, flat_labels, _INF)
+    slot = jnp.minimum(
+        jnp.searchsorted(root_idx, fg_labels).astype(jnp.int32),
+        max_components)
+    keyed = jnp.where(is_fg, slot, max_components)
+    valid_root = root_idx[:max_components] < _INF
+    return keyed, valid_root
+
+
 @functools.partial(jax.jit, static_argnames=("max_components",))
 def component_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
                     max_components: int = 100):
@@ -99,15 +132,7 @@ def component_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
     flat_labels = labels.reshape(-1)
     flat_prob = prob_map.reshape(-1).astype(jnp.float32)
 
-    # compact arbitrary label ids into [0, max_components) slots; background
-    # (-1) is mapped to the INF sentinel so the padded unique array stays
-    # sorted (searchsorted requirement)
-    is_fg = flat_labels >= 0
-    fg_labels = jnp.where(is_fg, flat_labels, _INF)
-    uniq = jnp.unique(fg_labels, size=max_components + 1, fill_value=_INF)
-    slot_of = jnp.minimum(jnp.searchsorted(uniq, fg_labels),
-                          max_components)
-    keyed = jnp.where(is_fg, slot_of, max_components)
+    keyed, valid_root = _compact_slots(flat_labels, max_components)
 
     ys = (jnp.arange(h * w, dtype=jnp.int32) // w).astype(jnp.float32)
     xs = (jnp.arange(h * w, dtype=jnp.int32) % w).astype(jnp.float32)
@@ -123,11 +148,159 @@ def component_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
     ymin = seg("min", ys, jnp.float32(h))
     ymax = seg("max", ys, jnp.float32(-1))
 
-    uniq_fg = uniq[:max_components]
-    valid = (uniq_fg < _INF) & (count > 0)
+    valid = valid_root & (count > 0)
     scores = jnp.where(valid, score_sum / jnp.maximum(count, 1.0), 0.0)
     boxes = jnp.stack([xmin, ymin, xmax, ymax], axis=1)
     return boxes, scores, count, valid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_components", "num_angles"))
+def component_rotated_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
+                            max_components: int = 100,
+                            num_angles: int = 5):
+    """Per-component ORIENTED rectangles — the on-device analogue of the
+    reference's ``cv2.minAreaRect`` over each contour
+    (``src/postprocess.py:158-184``).
+
+    Method: per-component second moments (segment sums of centered
+    coordinates) give the PCA principal angle; around it, ``num_angles``
+    candidate angles within ±15° are scored by projected-extent area and the
+    tightest wins (minAreaRect's optimal edge is always near the principal
+    axis for text blobs). All segment reductions are scatters into
+    ``max_components + 1`` buckets — static shapes, no host sync.
+
+    Returns (corners (K, 4, 2) float32 xy, sides (K, 2) = (w, h),
+    scores (K,) mean prob over the component, valid (K,) bool). Corner
+    order is rotation-consistent but not the reference's
+    clockwise-from-top-left; callers order on host (K tiny).
+    """
+    h, w = labels.shape
+    flat_labels = labels.reshape(-1)
+    flat_prob = prob_map.reshape(-1).astype(jnp.float32)
+    keyed, valid_root = _compact_slots(flat_labels, max_components)
+
+    ys = (jnp.arange(h * w, dtype=jnp.int32) // w).astype(jnp.float32)
+    xs = (jnp.arange(h * w, dtype=jnp.int32) % w).astype(jnp.float32)
+
+    def seg(op, values, init):
+        out = jnp.full((max_components + 1,), init, values.dtype)
+        return getattr(out.at[keyed], op)(values)[:max_components]
+
+    # pass 1: zeroth/first moments + score
+    count = seg("add", jnp.ones_like(flat_prob), 0.0)
+    score_sum = seg("add", flat_prob, 0.0)
+    safe_n = jnp.maximum(count, 1.0)
+    cx = seg("add", xs, 0.0) / safe_n
+    cy = seg("add", ys, 0.0) / safe_n
+
+    def lookup(table):
+        # per-pixel value of its slot: tiny-table gather (K+1 entries) —
+        # unlike the flat large-array gathers CLAUDE.md warns about
+        padded = jnp.concatenate([table, jnp.zeros((1,), table.dtype)])
+        return jnp.take(padded, keyed)
+
+    # pass 2: centered second moments (two-pass = no f32 cancellation)
+    dx = xs - lookup(cx)
+    dy = ys - lookup(cy)
+    fg = keyed < max_components
+    zero = jnp.float32(0)
+    sxx = seg("add", jnp.where(fg, dx * dx, zero), 0.0)
+    syy = seg("add", jnp.where(fg, dy * dy, zero), 0.0)
+    sxy = seg("add", jnp.where(fg, dx * dy, zero), 0.0)
+    theta = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
+
+    # candidate angles around the principal axis; pick the tightest rect
+    offsets = jnp.linspace(-15.0, 15.0, num_angles) * (jnp.pi / 180.0)
+
+    def extent(offset):
+        ang = theta + offset
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        u = dx * lookup(c) + dy * lookup(s)
+        v = -dx * lookup(s) + dy * lookup(c)
+        big = jnp.float32(1e9)
+        umin = seg("min", jnp.where(fg, u, big), big)
+        umax = seg("max", jnp.where(fg, u, -big), -big)
+        vmin = seg("min", jnp.where(fg, v, big), big)
+        vmax = seg("max", jnp.where(fg, v, -big), -big)
+        return jnp.stack([umin, umax, vmin, vmax])  # (4, K)
+
+    exts = jax.vmap(extent)(offsets)                 # (A, 4, K)
+    widths = exts[:, 1] - exts[:, 0]                 # (A, K)
+    heights = exts[:, 3] - exts[:, 2]
+    areas = widths * heights
+    best = jnp.argmin(areas, axis=0)                 # (K,)
+    pick = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
+    umin, umax = pick(exts[:, 0]), pick(exts[:, 1])
+    vmin, vmax = pick(exts[:, 2]), pick(exts[:, 3])
+    ang = theta + jnp.take(offsets, best)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+
+    # rect center in image coords = uv-center mapped back about the centroid
+    uc, vc = (umin + umax) / 2.0, (vmin + vmax) / 2.0
+    center = jnp.stack([cx + uc * c - vc * s,
+                        cy + uc * s + vc * c], axis=1)  # (K, 2)
+    corners = _rect_corners(center, c, s,
+                            (umax - umin) / 2.0, (vmax - vmin) / 2.0)
+    sides = jnp.stack([pick(widths), pick(heights)], axis=1)
+    valid = valid_root & (count > 0)
+    scores = jnp.where(valid, score_sum / safe_n, 0.0)
+    return corners, sides, scores, valid, center, ang
+
+
+def _rect_corners(center, c, s, half_w, half_h):
+    """Corners (K, 4, 2) of rects with centers (K, 2), unit axes from
+    cos/sin (K,), and half extents (K,) along each axis."""
+    us = jnp.stack([-half_w, half_w, half_w, -half_w], axis=1)   # (K, 4)
+    vs = jnp.stack([-half_h, -half_h, half_h, half_h], axis=1)
+    px = center[:, 0:1] + us * c[:, None] - vs * s[:, None]
+    py = center[:, 1:2] + us * s[:, None] + vs * c[:, None]
+    return jnp.stack([px, py], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "min_size", "max_components", "num_iters", "num_angles"))
+def _device_boxes_single(prob_map, thresh, box_thresh, unclip_ratio,
+                         min_size: int, max_components: int,
+                         num_iters: int, num_angles: int):
+    bitmap = (prob_map > thresh).astype(jnp.int32)
+    labels = connected_components(bitmap, num_iters=num_iters)
+    corners, sides, scores, valid, center, ang = component_rotated_boxes(
+        prob_map, labels, max_components=max_components,
+        num_angles=num_angles)
+    w0, h0 = sides[:, 0], sides[:, 1]
+    keep = valid & (jnp.minimum(w0, h0) >= min_size) & (scores >= box_thresh)
+    # on-device unclip (src/postprocess.py:150-156): a round-join offset of
+    # a rectangle by d = A·ratio/L followed by minAreaRect is exactly the
+    # same rectangle grown by d on each side
+    area = w0 * h0
+    length = 2.0 * (w0 + h0)
+    d = jnp.where(length > 0, area * unclip_ratio / jnp.maximum(length, 1e-6),
+                  0.0)
+    corners2 = _rect_corners(center, jnp.cos(ang), jnp.sin(ang),
+                             w0 / 2.0 + d, h0 / 2.0 + d)
+    w2, h2 = w0 + 2.0 * d, h0 + 2.0 * d
+    keep = keep & (jnp.minimum(w2, h2) >= min_size + 2)
+    return corners2, scores, keep
+
+
+def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
+                 unclip_ratio: float = 1.5, min_size: int = 3,
+                 max_components: int = 100, num_iters: int = 16,
+                 num_angles: int = 5):
+    """Fully on-device rotated-box postprocess over a BATCH of prob maps
+    (N, H, W): threshold → connected components → oriented min-rects →
+    unclip → filters, mirroring the reference's rect mode
+    (``src/postprocess.py:106-148``) without shipping maps to the host.
+    Returns (corners (N, K, 4, 2) f32 xy, scores (N, K), keep (N, K)) —
+    the D2H transfer is N·K box records instead of N·H·W map pixels."""
+    fn = functools.partial(
+        _device_boxes_single, min_size=min_size,
+        max_components=max_components, num_iters=num_iters,
+        num_angles=num_angles)
+    return jax.vmap(
+        lambda p: fn(p, jnp.float32(thresh), jnp.float32(box_thresh),
+                     jnp.float32(unclip_ratio)))(prob_maps)
 
 
 def fast_boxes(prob_map, thresh: float = 0.3, box_thresh: float = 0.7,

@@ -20,6 +20,62 @@ import numpy as np
 from .ops import geometry as geo
 
 
+class DeviceBoxRepresenter:
+    """Rect-mode postprocess that runs ON DEVICE (north-star item): threshold
+    → connected components → oriented min-rects → unclip → filters, all under
+    jit (``ops.pallas.cc.device_boxes``); the host only orders corners and
+    rescales K kept records per image. Against the host
+    ``SegDetectorRepresenter`` rect mode this transfers N·K box records
+    instead of N·H·W prob-map pixels (reference D2H at
+    ``src/postprocess.py:61-62``).
+
+    Same ``__call__`` contract as ``SegDetectorRepresenter`` (rect mode
+    only); polygon mode stays on host for exact parity runs.
+    """
+
+    def __init__(self, thresh=0.3, box_thresh=0.7, max_candidates=100,
+                 unclip_ratio=1.5, min_size=3):
+        self.thresh = thresh
+        self.box_thresh = box_thresh
+        self.max_candidates = max_candidates
+        self.unclip_ratio = unclip_ratio
+        self.min_size = min_size
+
+    def __call__(self, batch: dict, pred, is_output_polygon: bool = False):
+        """``pred``: device array NHWC (or (N, H, W)); channel 0 is consumed.
+        Stays on device until the final K-record transfer."""
+        assert not is_output_polygon, \
+            "polygon mode runs on host (SegDetectorRepresenter)"
+        from .ops.pallas.cc import device_boxes
+
+        if pred.ndim == 4:
+            pred = pred[..., 0]
+        height, width = pred.shape[1], pred.shape[2]
+        corners, scores, keep = device_boxes(
+            pred, thresh=self.thresh, box_thresh=self.box_thresh,
+            unclip_ratio=self.unclip_ratio, min_size=self.min_size,
+            max_components=self.max_candidates)
+        # one D2H of (N, K) records
+        corners = np.asarray(corners)
+        scores = np.asarray(scores)
+        keep = np.asarray(keep)
+        boxes_batch, scores_batch = [], []
+        for i in range(corners.shape[0]):
+            dest_h, dest_w = batch["shape"][i]
+            kept = corners[i][keep[i]]
+            out = np.zeros((len(kept), 4, 2), dtype=np.int16)
+            for j, quad in enumerate(kept):
+                quad = np.array(order_rect_points(quad))
+                quad[:, 0] = np.clip(
+                    np.round(quad[:, 0] / width * dest_w), 0, dest_w)
+                quad[:, 1] = np.clip(
+                    np.round(quad[:, 1] / height * dest_h), 0, dest_h)
+                out[j] = quad.astype(np.int16)
+            boxes_batch.append(out)
+            scores_batch.append(scores[i][keep[i]].astype(np.float32))
+        return boxes_batch, scores_batch
+
+
 def order_rect_points(corners: np.ndarray):
     """Clockwise-from-top-left corner ordering of 4 rect points
     (``get_mini_boxes``, ``src/postprocess.py:158-184``)."""

@@ -95,25 +95,28 @@ class DBTextDetectionHandler:
         return res
 
     def postprocess_boxes(self, data, thresh: float = 0.3,
-                          box_thresh: float = 0.7) -> list[dict]:
+                          box_thresh: float = 0.7,
+                          unclip_ratio: float = 1.5) -> list[dict]:
         """Fast box mode (no reference counterpart — the reference always
         returns full masks and leaves boxes to the client, SURVEY.md §3.4):
-        on-device connected components → per-region axis-aligned boxes +
-        scores; the response shrinks from two H×W masks to K box records."""
-        import jax.numpy as jnp
+        one batched on-device pass (threshold → connected components →
+        oriented min-rects → unclip, all under jit); the response shrinks
+        from two H×W masks to K quad records per image. ``boxes`` are
+        (4, 2) corner quads like the reference's client-side rect mode."""
+        from ..ops.pallas.cc import device_boxes
+        from ..postprocess import order_rect_points
 
-        from ..ops.pallas.cc import fast_boxes
-
+        corners, scores, keep = device_boxes(
+            data[..., 0], thresh=thresh, box_thresh=box_thresh,
+            unclip_ratio=unclip_ratio)
+        corners, scores, keep = (np.asarray(corners), np.asarray(scores),
+                                 np.asarray(keep))
         res = []
-        for pred in data:
-            boxes, scores, keep = fast_boxes(
-                jnp.asarray(pred[..., 0]), thresh=thresh,
-                box_thresh=box_thresh)
-            boxes, scores, keep = (np.asarray(boxes), np.asarray(scores),
-                                   np.asarray(keep))
+        for i in range(corners.shape[0]):
+            quads = [order_rect_points(q) for q in corners[i][keep[i]]]
             res.append({
-                "boxes": boxes[keep].astype(float).tolist(),
-                "scores": scores[keep].astype(float).tolist(),
+                "boxes": [np.asarray(q, float).tolist() for q in quads],
+                "scores": scores[i][keep[i]].astype(float).tolist(),
             })
         return res
 
@@ -128,5 +131,6 @@ class DBTextDetectionHandler:
         batch = self.preprocess(request)
         preds = self.inference(batch)
         if mode == "boxes":
-            return self.postprocess_boxes(np.asarray(preds))
+            # preds stay on device; only K box records come back
+            return self.postprocess_boxes(preds)
         return self.postprocess(preds)

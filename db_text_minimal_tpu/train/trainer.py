@@ -33,7 +33,7 @@ from ..lr_schedules import ReduceLROnPlateau, warmup_poly_lr
 from ..metrics import QuadMetric, RunningScore
 from ..models import DBTextModel
 from ..parallel import auto_data_mesh, replicate_state, shard_batch
-from ..postprocess import SegDetectorRepresenter
+from ..postprocess import DeviceBoxRepresenter, SegDetectorRepresenter
 from ..utils import setup_determinism, setup_logger
 from .checkpoints import CheckpointPolicy, load_params_any, save_checkpoint
 
@@ -359,23 +359,49 @@ class Trainer:
     # ------------------------------------------------------------------
     def eval_epoch(self, state: TrainState):
         cfg = self.cfg
-        seg_obj = SegDetectorRepresenter(
+        is_poly = bool(cfg.metric.is_output_polygon)
+        # rect mode defaults to the on-device box extractor (threshold + CC
+        # + oriented rects under jit; K records D2H instead of full maps);
+        # polygon mode and metric.device_boxes=False take the host path
+        use_device_boxes = (not is_poly
+                            and cfg.metric.device_boxes is not False)
+        rep_cls = DeviceBoxRepresenter if use_device_boxes \
+            else SegDetectorRepresenter
+        seg_obj = rep_cls(
             thresh=float(cfg.metric.thred_text_score),
             box_thresh=float(cfg.metric.prob_threshold),
             unclip_ratio=float(cfg.metric.unclip_ratio))
         metric_cls = QuadMetric()
         running = RunningScore(int(cfg.hps.no_classes))
-        test_loss = 0.0
         raw_metrics = []
         n = 0
         size = int(cfg.hps.img_size)
+        # losses/histograms accumulate ON DEVICE; one readback at the end
+        # (the train loop's lazy-flush treatment — a per-batch float() would
+        # serialize device and host work)
+        loss_sum = jnp.float32(0)
+        hist_sum = jnp.zeros((2, 2), jnp.float32)
         # one random test batch gets TB image grids (src/train.py:249-257)
         visualize_index = (np.random.randint(len(self.test_loader))
                            if self.tb_writer is not None
                            and len(self.test_loader) else -1)
+
+        def finish(pending):
+            """Host postprocess of an already-dispatched batch — runs while
+            the device computes the NEXT batch (double-buffer overlap)."""
+            batch, preds = pending
+            batch_shape = {"shape": [(size, size)] * preds.shape[0]}
+            box_list, score_list = seg_obj(batch_shape, preds,
+                                           is_output_polygon=is_poly)
+            raw_metrics.append(metric_cls.validate_measure(
+                batch, (box_list, score_list)))
+
+        pending = None
         for batch in self.test_loader:
             device_batch = shard_batch(array_batch(batch), self.mesh)
             preds, loss, hist = self._eval_step(state, device_batch)
+            loss_sum = loss_sum + loss
+            hist_sum = hist_sum + hist
             if n == visualize_index:
                 from ..utils.visualize import visualize_tfb
 
@@ -383,17 +409,18 @@ class Trainer:
                               np.asarray(preds), self.global_step,
                               thresh=float(cfg.metric.thred_text_score),
                               mode="TEST")
-            test_loss += float(loss)
-            running.confusion_matrix += np.asarray(hist)
             n += 1
-            batch_shape = {"shape": [(size, size)] * preds.shape[0]}
-            box_list, score_list = seg_obj(
-                batch_shape, np.asarray(preds),
-                is_output_polygon=bool(cfg.metric.is_output_polygon))
-            raw_metrics.append(metric_cls.validate_measure(
-                batch, (box_list, score_list)))
+            # both representers accept device arrays; conversion (the D2H
+            # sync) happens inside finish(), overlapped with the next step
+            next_pending = (batch, preds)
+            if pending is not None:
+                finish(pending)
+            pending = next_pending
+        if pending is not None:
+            finish(pending)
+        running.confusion_matrix += np.asarray(hist_sum, dtype=np.float64)
         metrics = metric_cls.gather_measure(raw_metrics)
-        test_loss = test_loss / max(n, 1)
+        test_loss = float(loss_sum) / max(n, 1)
         return (test_loss, running, metrics["recall"].avg,
                 metrics["precision"].avg, metrics["fmeasure"].avg)
 

@@ -86,6 +86,99 @@ def test_fast_boxes_low_score_rejected():
     assert int(np.asarray(keep).sum()) == 0
 
 
+def _draw_rot_rect(prob, cx, cy, w, h, deg, val=0.95):
+    th = np.deg2rad(deg)
+    ys, xs = np.mgrid[0:prob.shape[0], 0:prob.shape[1]]
+    dx, dy = xs - cx, ys - cy
+    u = dx * np.cos(th) + dy * np.sin(th)
+    v = -dx * np.sin(th) + dy * np.cos(th)
+    prob[(np.abs(u) <= w / 2) & (np.abs(v) <= h / 2)] = val
+
+
+def _rot_rect_scene():
+    prob = np.zeros((160, 160), np.float32)
+    _draw_rot_rect(prob, 40, 40, 50, 14, 20)
+    _draw_rot_rect(prob, 110, 100, 60, 16, -35)
+    _draw_rot_rect(prob, 40, 120, 30, 12, 0)
+    return prob
+
+
+def test_device_boxes_matches_host_rect_mode():
+    """On-device oriented boxes vs the host SegDetectorRepresenter rect path
+    (contours → minAreaRect → unclip) on rotated rectangles: same count,
+    corners within 2.5 px."""
+    from db_text_minimal_tpu.ops.pallas.cc import device_boxes
+    from db_text_minimal_tpu.postprocess import (SegDetectorRepresenter,
+                                                 order_rect_points)
+
+    prob = _rot_rect_scene()
+    corners, scores, keep = device_boxes(jnp.asarray(prob)[None],
+                                         thresh=0.3, box_thresh=0.7)
+    corners = np.asarray(corners[0])[np.asarray(keep[0])]
+    dev = sorted((np.array(order_rect_points(c)) for c in corners),
+                 key=lambda b: (b[0, 0], b[0, 1]))
+
+    rep = SegDetectorRepresenter(thresh=0.3, box_thresh=0.7)
+    boxes, hscores = rep({"shape": [(160, 160)]}, prob[None, ..., None],
+                         is_output_polygon=False)
+    host = sorted((np.asarray(b, float) for b, s in
+                   zip(boxes[0], hscores[0]) if s > 0),
+                  key=lambda b: (b[0, 0], b[0, 1]))
+    assert len(dev) == len(host) == 3
+    for d, h in zip(dev, host):
+        assert np.abs(d - h).max() < 2.5, (d, h)
+    assert np.all(np.asarray(scores[0])[np.asarray(keep[0])] > 0.9)
+
+
+def test_device_boxes_empty_and_low_score():
+    from db_text_minimal_tpu.ops.pallas.cc import device_boxes
+
+    empty = jnp.zeros((1, 64, 64), jnp.float32)
+    _, _, keep = device_boxes(empty)
+    assert int(np.asarray(keep).sum()) == 0
+    low = jnp.asarray(_rot_rect_scene() * 0.4)[None]   # below box_thresh
+    _, _, keep = device_boxes(low, thresh=0.3, box_thresh=0.7)
+    assert int(np.asarray(keep).sum()) == 0
+
+
+def test_device_box_representer_contract():
+    """DeviceBoxRepresenter matches the SegDetectorRepresenter call contract
+    (rect mode): int16 ordered quads scaled to the destination size."""
+    from db_text_minimal_tpu.postprocess import DeviceBoxRepresenter
+
+    prob = _rot_rect_scene()
+    batch = np.stack([prob, np.zeros_like(prob)])[..., None]
+    rep = DeviceBoxRepresenter(thresh=0.3, box_thresh=0.7)
+    boxes, scores = rep({"shape": [(320, 320), (320, 320)]},
+                        jnp.asarray(batch))
+    assert len(boxes) == 2 and len(scores) == 2
+    assert boxes[0].shape[1:] == (4, 2) and boxes[0].dtype == np.int16
+    assert len(boxes[0]) == 3 and len(boxes[1]) == 0
+    # scaled 2x: the axis-aligned box (25..55, 114..126 ± unclip) lands
+    # around x≈34..76 in the 320 canvas
+    assert boxes[0].max() <= 320 and boxes[0].min() >= 0
+    assert boxes[0].max() > 160   # actually scaled, not left at 160
+
+
+def test_db_step_custom_vjp_matches_analytic():
+    from db_text_minimal_tpu.ops.pallas.db_step import db_step
+
+    rs = np.random.RandomState(1)
+    p = jnp.asarray(rs.rand(2, 16, 128, 1).astype(np.float32))
+    t = jnp.asarray(rs.rand(2, 16, 128, 1).astype(np.float32))
+
+    def via_op(p, t):
+        return jnp.sum(jnp.cos(db_step(p, t, 50.0)))
+
+    def via_jnp(p, t):
+        return jnp.sum(jnp.cos(jax.nn.sigmoid(50.0 * (p - t))))
+
+    gp1, gt1 = jax.grad(via_op, argnums=(0, 1))(p, t)
+    gp2, gt2 = jax.grad(via_jnp, argnums=(0, 1))(p, t)
+    np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2), atol=1e-5)
+
+
 def test_step_timer():
     import time
 
