@@ -215,6 +215,258 @@ def export_word_crops(section: dict, out_dir: str, img_h: int = 32,
     return out_dir
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+
+def _paste_patch(img, patch, mask, x, y):
+    """Alpha-paste a rendered glyph patch into the scene at (x, y)."""
+    h, w = patch.shape[:2]
+    H, W = img.shape[:2]
+    x0, y0 = max(x, 0), max(y, 0)
+    x1, y1 = min(x + w, W), min(y + h, H)
+    if x1 <= x0 or y1 <= y0:
+        return False
+    ps = patch[y0 - y:y1 - y, x0 - x:x1 - x]
+    ms = mask[y0 - y:y1 - y, x0 - x:x1 - x][..., None].astype(np.float32)
+    region = img[y0:y1, x0:x1].astype(np.float32)
+    img[y0:y1, x0:x1] = (region * (1 - ms)
+                         + ps.astype(np.float32) * ms).astype(np.uint8)
+    return True
+
+
+def _glyph_patch(rng, text, font_scale, color, thickness=None):
+    """Render ``text`` on a tight patch; returns (bgr patch, alpha mask)."""
+    import cv2
+
+    thickness = thickness or max(1, 1 + int(font_scale))
+    font = rng.choice([cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_DUPLEX,
+                       cv2.FONT_HERSHEY_COMPLEX_SMALL])
+    (tw, th), baseline = cv2.getTextSize(text, font, font_scale, thickness)
+    m = 3
+    patch = np.zeros((th + baseline + 2 * m, tw + 2 * m, 3), np.uint8)
+    mask = np.zeros(patch.shape[:2], np.uint8)
+    cv2.putText(patch, text, (m, m + th), font, font_scale, color, thickness)
+    cv2.putText(mask, text, (m, m + th), font, font_scale, 255, thickness)
+    return patch, (mask > 0).astype(np.uint8)
+
+
+def _rotated_word(rng, img, occupied, size, small=False):
+    """Paste a word rotated by up to ±50°; returns (poly, text) or None."""
+    import cv2
+
+    text = "".join(rng.choice(list(_UPPER))
+                   for _ in range(rng.randint(3, 9)))
+    font_scale = rng.uniform(0.45, 0.8) if small else rng.uniform(0.9, 2.0)
+    dark = rng.rand() < 0.7
+    color = tuple(int(v) for v in (rng.randint(0, 50, 3) if dark
+                                   else rng.randint(200, 255, 3)))
+    patch, mask = _glyph_patch(rng, text, font_scale, color)
+    angle = rng.uniform(-50, 50)
+    ph, pw = patch.shape[:2]
+    rot = cv2.getRotationMatrix2D((pw / 2, ph / 2), angle, 1.0)
+    cos, sin = abs(rot[0, 0]), abs(rot[0, 1])
+    nw, nh = int(pw * cos + ph * sin) + 2, int(pw * sin + ph * cos) + 2
+    rot[0, 2] += nw / 2 - pw / 2
+    rot[1, 2] += nh / 2 - ph / 2
+    rpatch = cv2.warpAffine(patch, rot, (nw, nh))
+    rmask = cv2.warpAffine(mask, rot, (nw, nh))
+    if nw >= size - 4 or nh >= size - 4:
+        return None
+    x = rng.randint(2, size - nw - 2)
+    y = rng.randint(2, size - nh - 2)
+    corners = np.array([[0, 0], [pw, 0], [pw, ph], [0, ph]], np.float64)
+    poly = corners @ rot[:, :2].T + rot[:, 2] + np.array([x, y])
+    bbox = (poly[:, 0].min(), poly[:, 1].min(),
+            poly[:, 0].max(), poly[:, 1].max())
+    if _bbox_overlaps(bbox, occupied):
+        return None
+    _paste_patch(img, rpatch, rmask, x, y)
+    occupied.append(bbox)
+    return np.clip(poly, 0, size - 1), text
+
+
+def _curved_word(rng, img, occupied, size):
+    """Real glyphs along a bent baseline with per-char tangent rotation;
+    GT is a CTW1500-style 14-point polygon (7 top + 7 bottom)."""
+    import cv2
+
+    text = "".join(rng.choice(list(_UPPER))
+                   for _ in range(rng.randint(5, 10)))
+    font_scale = rng.uniform(0.8, 1.4)
+    thickness = 1 + int(font_scale)
+    dark = rng.rand() < 0.7
+    color = tuple(int(v) for v in (rng.randint(0, 50, 3) if dark
+                                   else rng.randint(200, 255, 3)))
+    (tw, th), _ = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
+                                  font_scale, thickness)
+    length = int(tw * 1.15)
+    amp = rng.uniform(0.25, 0.9) * th * 2 * rng.choice([-1, 1])
+    if length >= size - 40:
+        return None
+    x0 = rng.randint(10, size - length - 10)
+    y0 = rng.randint(int(th * 2 + abs(amp)) + 10,
+                     size - int(th + abs(amp)) - 10)
+
+    def base(t):
+        return (x0 + t * length, y0 + amp * np.sin(t * np.pi))
+
+    bxs = np.array([base(t) for t in np.linspace(0, 1, 64)])
+    bbox = (bxs[:, 0].min() - 4, bxs[:, 1].min() - th - 4,
+            bxs[:, 0].max() + 4, bxs[:, 1].max() + 6)
+    if _bbox_overlaps(bbox, occupied):
+        return None
+    n = len(text)
+    for i, ch in enumerate(text):
+        t = (i + 0.5) / n
+        cx, cy = base(t)
+        # tangent angle of the baseline (image y points down)
+        dy = amp * np.pi * np.cos(t * np.pi) / length
+        ang = -np.degrees(np.arctan2(dy, 1.0))
+        patch, mask = _glyph_patch(rng, ch, font_scale, color, thickness)
+        ph, pw = patch.shape[:2]
+        rot = cv2.getRotationMatrix2D((pw / 2, ph / 2), ang, 1.0)
+        rpatch = cv2.warpAffine(patch, rot, (pw, ph))
+        rmask = cv2.warpAffine(mask, rot, (pw, ph))
+        _paste_patch(img, rpatch, rmask, int(cx - pw / 2),
+                     int(cy - ph / 2 - th * 0.2))
+    ts = np.linspace(0, 1, 7)
+    pts = np.array([base(t) for t in ts])
+    top = pts + np.array([0.0, -th * 0.9])
+    bottom = (pts + np.array([0.0, th * 0.55]))[::-1]
+    occupied.append(bbox)
+    poly = np.concatenate([top, bottom], axis=0)
+    return np.clip(poly, 0, size - 1), text
+
+
+def _bbox_overlaps(b, occupied, margin=6):
+    return any(not (b[2] < o[0] - margin or b[0] > o[2] + margin
+                    or b[3] < o[1] - margin or b[1] > o[3] + margin)
+               for o in occupied)
+
+
+def _distractors(rng, img, occupied, size):
+    """Unlabeled text-LIKE clutter: barcode stripe groups, grids, polylines,
+    solid shapes — the false-positive bait real scenes have."""
+    import cv2
+
+    for _ in range(rng.randint(2, 6)):
+        kind = rng.randint(4)
+        w = rng.randint(30, 120)
+        h = rng.randint(10, 60)
+        if size - w - 4 <= 4 or size - h - 4 <= 4:
+            continue
+        x = rng.randint(2, size - w - 2)
+        y = rng.randint(2, size - h - 2)
+        bbox = (x, y, x + w, y + h)
+        if _bbox_overlaps(bbox, occupied):
+            continue
+        occupied.append(bbox)
+        shade = int(rng.randint(0, 60)) if rng.rand() < 0.5 \
+            else int(rng.randint(190, 255))
+        color = (shade, shade, shade)
+        if kind == 0:       # barcode stripes (very text-like locally)
+            n = max(w // 6, 3)
+            for i in range(n):
+                sx = x + i * w // n
+                cv2.rectangle(img, (sx, y), (sx + rng.randint(1, 3), y + h),
+                              color, -1)
+        elif kind == 1:     # grid
+            for gy in range(y, y + h, max(h // 4, 3)):
+                cv2.line(img, (x, gy), (x + w, gy), color, 1)
+            for gx in range(x, x + w, max(w // 6, 3)):
+                cv2.line(img, (gx, y), (gx, y + h), color, 1)
+        elif kind == 2:     # random polyline scribble
+            pts = np.stack([rng.randint(x, x + w, 6),
+                            rng.randint(y, y + h, 6)], axis=1)
+            cv2.polylines(img, [pts.astype(np.int32)], False, color, 2)
+        else:               # solid shape
+            if rng.rand() < 0.5:
+                cv2.rectangle(img, (x, y), (x + w, y + h), color, -1)
+            else:
+                cv2.circle(img, (x + w // 2, y + h // 2), min(w, h) // 2,
+                           color, -1)
+
+
+def _hard_background(rng, size):
+    import cv2
+
+    base = rng.randint(90, 200, size=3).astype(np.float32)
+    grad_dir = rng.rand() < 0.5
+    ramp = np.linspace(-40, 40, size, dtype=np.float32)
+    ramp2d = ramp[:, None] if grad_dir else ramp[None, :]
+    img = np.clip(base[None, None, :]
+                  + np.broadcast_to(ramp2d, (size, size))[..., None],
+                  0, 255).astype(np.uint8)
+    noise = rng.randint(0, 25, size=(size, size, 3), dtype=np.uint8)
+    img = cv2.add(img, noise)
+    return img
+
+
+def _render_hard_sample(rng, size=640, max_words=8):
+    """One benchmark scene: rotated + curved + small + ignore-tagged words
+    over distractor clutter. Returns (img, [(poly, text, ignore)])."""
+    img = _hard_background(rng, size)
+    occupied: list = []
+    words = []
+    n_words = rng.randint(3, max_words + 1)
+    tries = 0
+    while len(words) < n_words and tries < 80:
+        tries += 1
+        r = rng.rand()
+        if r < 0.3:
+            res = _curved_word(rng, img, occupied, size)
+        elif r < 0.55:
+            res = _rotated_word(rng, img, occupied, size, small=True)
+        else:
+            res = _rotated_word(rng, img, occupied, size, small=False)
+        if res is None:
+            continue
+        poly, text = res
+        # ~12 % of words are ignore-tagged (the ICDAR '###' convention,
+        # src/data_loaders.py:260-289) — evaluators must not count them
+        ignore = rng.rand() < 0.12
+        words.append((poly, "###" if ignore else text))
+    _distractors(rng, img, occupied, size)
+    return img, words
+
+
+def generate_hard(out_dir: str, n_train: int = 1600, n_test: int = 400,
+                  size: int = 640, seed: int = 7) -> dict:
+    """The quality-parity proxy benchmark (round-2 VERDICT item 3a): a hard
+    TotalText-format synthetic set — curved CTW-style words, rotations to
+    ±50°, small text, '###' ignore tags, text-like distractors. Deterministic
+    in ``seed``; images regenerate bit-identically, so only the GT pickles
+    need committing."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    dirs = {
+        "train_dir": os.path.join(out_dir, "train_images"),
+        "test_dir": os.path.join(out_dir, "test_images"),
+        "train_gt_dir": os.path.join(out_dir, "train_gts"),
+        "test_gt_dir": os.path.join(out_dir, "test_gts"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    def write_split(img_dir, gt_dir, count, offset):
+        for i in range(count):
+            img, words = _render_hard_sample(rng, size=size)
+            img_id = offset + i
+            cv2.imwrite(os.path.join(img_dir, f"img{img_id}.jpg"), img)
+            lines = []
+            for poly, text in words:
+                coords = ",".join(f"{v:.1f}" for v in
+                                  np.asarray(poly).reshape(-1))
+                lines.append(f"{coords},{text}")
+            with open(os.path.join(gt_dir, f"gt_img{img_id}.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+    write_split(dirs["train_dir"], dirs["train_gt_dir"], n_train, 0)
+    write_split(dirs["test_dir"], dirs["test_gt_dir"], n_test, 100000)
+    return {**dirs, "ignore_tags": ["###"]}
+
+
 def generate(out_dir: str, n_train: int = 8, n_test: int = 4,
              size: int = 640, seed: int = 0,
              curved_prob: float = 0.0) -> dict:

@@ -158,6 +158,55 @@ def torchvision_resnet_to_flax(state_dict: Mapping[str, Any]):
     return params.get("backbone", {}), stats.get("backbone", {})
 
 
+def flax_backbone_to_torchvision(params: Mapping[str, Any],
+                                 stats: Mapping[str, Any]) -> dict:
+    """Inverse of ``torchvision_resnet_to_flax``: export a Flax ResNet
+    backbone subtree as a torchvision-format state_dict (numpy values).
+    Enables in-tree pretrained backbones to round-trip through the exact
+    ``.pth`` import path the reference uses for its model-zoo weights
+    (``src/modules/resnet.py:245-255``)."""
+
+    def conv_w(k):
+        return np.transpose(np.asarray(k), (3, 2, 0, 1))  # HWIO -> OIHW
+
+    sd: dict = {}
+
+    def put_bn(prefix, p, s):
+        sd[prefix + ".weight"] = np.asarray(p["scale"])
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+        sd[prefix + ".running_mean"] = np.asarray(s["mean"])
+        sd[prefix + ".running_var"] = np.asarray(s["var"])
+        sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    sd["conv1.weight"] = conv_w(params["conv1"]["kernel"])
+    put_bn("bn1", params["bn1"], stats["bn1"])
+    for name in sorted(k for k in params if k.startswith("layer")):
+        stage, block = name[len("layer"):].split("_")
+        tv = f"layer{stage}.{block}"
+        sub, sst = params[name], stats[name]
+        for leaf in sub:
+            if leaf.startswith("conv"):
+                sd[f"{tv}.{leaf}.weight"] = conv_w(sub[leaf]["kernel"])
+            elif leaf.startswith("bn"):
+                put_bn(f"{tv}.{leaf}", sub[leaf], sst[leaf])
+            elif leaf == "downsample_conv":
+                sd[f"{tv}.downsample.0.weight"] = conv_w(sub[leaf]["kernel"])
+            elif leaf == "downsample_bn":
+                put_bn(f"{tv}.downsample.1", sub[leaf], sst[leaf])
+    return sd
+
+
+def save_backbone_pth(path: str, params, batch_stats) -> None:
+    """torch.save a Flax backbone as a torchvision-format ``.pth``."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+          if np.asarray(v).ndim else torch.tensor(v)
+          for k, v in flax_backbone_to_torchvision(params,
+                                                   batch_stats).items()}
+    torch.save(sd, path)
+
+
 def load_pretrained_backbone(path: str, params, batch_stats):
     """Warm-start the backbone subtree of a DBTextModel params pytree from a
     torchvision ResNet ``.pth``; other subtrees pass through unchanged."""
