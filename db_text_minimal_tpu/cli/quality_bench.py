@@ -1,0 +1,231 @@
+"""Quality-parity benchmark driver: train on a dataset, evaluate with both
+postprocess paths (host rect / on-device rect) and both protocols
+(IoU-Pascal, DetEval), write one metrics JSON.
+
+The proxy for the reference's published DetEval table (``README.md:88-91``)
+until real datasets/checkpoints are on disk — see docs/QUALITY_PARITY.md for
+the one-command recipe that swaps in TotalText + ``db_resnet18.pth``.
+
+Usage::
+
+    python -m db_text_minimal_tpu.cli.quality_bench \
+        --data_dir tmp/hard_bench --out demo/hard_bench/metrics_scratch.json \
+        --epochs 12 [--pretrained_backbone models/backbone_pretext.pth]
+        [--backbone resnet18] [--neck FPN] [--reduction mean]
+        [--eval_only --checkpoint models/x.ckpt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from ..config import load_config
+from ..data import DataLoader, build_dataset
+from ..metrics import QuadMetric
+from ..metrics.deteval import DetectionDetEvalEvaluator
+from ..metrics.iou import DetectionIoUEvaluator
+from ..postprocess import DeviceBoxRepresenter, SegDetectorRepresenter
+from ..train import Trainer
+from ..train.trainer import array_batch
+from ..parallel import shard_batch
+
+
+def load_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="TotalText-format dataset root "
+                             "(train_images/ train_gts/ test_images/ "
+                             "test_gts/)")
+    parser.add_argument("--out", type=str, required=True,
+                        help="metrics JSON path")
+    parser.add_argument("--epochs", type=int, default=12)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--test_batch_size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=0.005)
+    parser.add_argument("--backbone", type=str, default="resnet18")
+    parser.add_argument("--neck", type=str, default="FPN")
+    parser.add_argument("--reduction", type=str, default="mean",
+                        choices=("mean", "none"))
+    parser.add_argument("--pretrained_backbone", type=str, default=None)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="warm start / eval_only weights")
+    parser.add_argument("--eval_only", action="store_true")
+    parser.add_argument("--limit_train", type=int, default=None)
+    parser.add_argument("--limit_test", type=int, default=None)
+    parser.add_argument("--eval_every", type=int, default=0,
+                        help="run the in-loop eval every N epochs "
+                             "(0 = only at the end; keeps long runs fast)")
+    # reference canonical eval constants (Makefile:26-28)
+    parser.add_argument("--thresh", type=float, default=0.25)
+    parser.add_argument("--box_thresh", type=float, default=0.50)
+    parser.add_argument("--unclip_ratio", type=float, default=1.5)
+    parser.add_argument("--save_checkpoint", type=str, default=None)
+    parser.add_argument("--img_size", type=int, default=640)
+    return parser.parse_args(argv)
+
+
+def _limit(dataset, n):
+    if n:
+        dataset.image_paths = dataset.image_paths[:n]
+        dataset.all_anns = dataset.all_anns[:n]
+    return dataset
+
+
+def build_cfg(args):
+    section = {
+        "train_dir": os.path.join(args.data_dir, "train_images"),
+        "train_gt_dir": os.path.join(args.data_dir, "train_gts"),
+        "test_dir": os.path.join(args.data_dir, "test_images"),
+        "test_gt_dir": os.path.join(args.data_dir, "test_gts"),
+        "ignore_tags": ["###"],
+    }
+    overrides = {
+        "dataset": {"name": "totaltext"},
+        "data": {"totaltext": section},
+        "hps": {"batch_size": args.batch_size,
+                "test_batch_size": args.test_batch_size,
+                "no_epochs": args.epochs, "img_size": args.img_size,
+                "log_iter": 25},
+        "metric": {"thred_text_score": args.thresh,
+                   "prob_threshold": args.box_thresh,
+                   "unclip_ratio": args.unclip_ratio,
+                   "is_output_polygon": False},
+        "model": {"backbone": args.backbone, "neck": args.neck,
+                  "head": "DBHead",
+                  "pretrained_backbone_path": args.pretrained_backbone or "",
+                  "finetune_cp_path": ""},
+        "optimizer": {"lr": args.lr, "reduction": args.reduction},
+        "lrs": {"mode": "reduce", "factor": 0.2, "patience": 4},
+    }
+    return load_config("/nonexistent-use-defaults", overrides)
+
+
+def full_eval(trainer, state, test_loader, args):
+    """Forward the whole test set once; evaluate host vs device postprocess
+    under IoU-Pascal (canonical 0.4/0.8) and DetEval (tr 0.8 / tp 0.4)."""
+    size = args.img_size
+    reps = {
+        "host": SegDetectorRepresenter(
+            thresh=args.thresh, box_thresh=args.box_thresh,
+            unclip_ratio=args.unclip_ratio),
+        "device": DeviceBoxRepresenter(
+            thresh=args.thresh, box_thresh=args.box_thresh,
+            unclip_ratio=args.unclip_ratio),
+    }
+    evaluators = {
+        "iou_pascal": DetectionIoUEvaluator(iou_constraint=0.4,
+                                            area_precision_constraint=0.8),
+        "deteval": DetectionDetEvalEvaluator(),
+    }
+    raw = {(r, e): [] for r in reps for e in evaluators}
+    wall = {r: 0.0 for r in reps}
+    n_images = 0
+    for batch in test_loader:
+        device_batch = shard_batch(array_batch(batch), trainer.mesh)
+        preds, _, _ = trainer._eval_step(state, device_batch)
+        n_images += preds.shape[0]
+        batch_shape = {"shape": [(size, size)] * preds.shape[0]}
+        for rname, rep in reps.items():
+            t0 = time.perf_counter()
+            pred_in = preds if rname == "device" else np.asarray(preds)
+            box_list, score_list = rep(batch_shape, pred_in,
+                                       is_output_polygon=False)
+            wall[rname] += time.perf_counter() - t0
+            for ename, ev in evaluators.items():
+                qm = QuadMetric(evaluator=ev)
+                raw[(rname, ename)].append(
+                    qm.validate_measure(batch, (box_list, score_list)))
+    out = {}
+    for (rname, ename), metrics in raw.items():
+        qm = QuadMetric(evaluator=evaluators[ename])
+        gathered = qm.gather_measure(metrics)
+        out.setdefault(rname, {})[ename] = {
+            "precision": round(gathered["precision"].avg, 4),
+            "recall": round(gathered["recall"].avg, 4),
+            "hmean": round(gathered["fmeasure"].avg, 4),
+        }
+    for rname in reps:
+        out[rname]["postprocess_wall_s"] = round(wall[rname], 2)
+    out["n_test_images"] = n_images
+    return out
+
+
+def main(args=None):
+    args = args or load_args()
+    cfg = build_cfg(args)
+    train_ds = _limit(build_dataset(cfg, is_training=True), args.limit_train)
+    test_ds = _limit(build_dataset(cfg, is_training=False), args.limit_test)
+    train_loader = DataLoader(train_ds, int(cfg.hps.batch_size),
+                              shuffle=True)
+    test_loader = DataLoader(test_ds, int(cfg.hps.test_batch_size))
+    trainer = Trainer(cfg, train_loader, test_loader)
+    t0 = time.perf_counter()
+    history = []
+    if args.eval_only:
+        assert args.checkpoint, "--eval_only requires --checkpoint"
+        state = trainer.resume_state(args.checkpoint)
+    else:
+        state = trainer.init_state()
+        if args.checkpoint:
+            state = trainer.resume_state(args.checkpoint)
+        for epoch in range(int(cfg.hps.no_epochs)):
+            state, train_loss, _, _ = trainer.train_epoch(state, epoch)
+            entry = {"epoch": epoch, "train_loss": round(train_loss, 5)}
+            if args.eval_every and (epoch + 1) % args.eval_every == 0:
+                test_loss, _, recall, precision, hmean = \
+                    trainer.eval_epoch(state)
+                entry.update({"test_loss": round(test_loss, 5),
+                              "hmean": round(hmean, 4)})
+                if trainer.lrs_mode == "reduce":
+                    trainer.plateau.step(test_loss)
+            trainer.logger.info("epoch %d: %s", epoch, entry)
+            history.append(entry)
+    train_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    results = full_eval(trainer, state, test_loader, args)
+    eval_wall = time.perf_counter() - t0
+
+    if args.save_checkpoint:
+        from ..train.checkpoints import save_checkpoint
+
+        host_state = jax.device_get(state)
+        save_checkpoint(args.save_checkpoint,
+                        {"params": host_state.params,
+                         "batch_stats": host_state.batch_stats,
+                         "opt_state": host_state.opt_state,
+                         "step": host_state.step})
+
+    report = {
+        "config": {
+            "backbone": args.backbone, "neck": args.neck,
+            "reduction": args.reduction,
+            "pretrained_backbone": bool(args.pretrained_backbone),
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "lr": args.lr, "thresh": args.thresh,
+            "box_thresh": args.box_thresh,
+            "unclip_ratio": args.unclip_ratio,
+            "n_train": len(train_ds), "n_test": len(test_ds),
+            "backend": jax.default_backend(),
+        },
+        "train_wall_s": round(train_wall, 1),
+        "eval_wall_s": round(eval_wall, 1),
+        "history": history,
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report["results"], indent=1))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -64,7 +64,9 @@ def main(args=None):
 
     train_ds = build_dataset(cfg, is_training=True)
     test_ds = build_dataset(cfg, is_training=False)
-    train_loader = DataLoader(train_ds, int(cfg.hps.batch_size),
+    # hps.batch_size is the GLOBAL batch; each host loads its slice of it
+    train_loader = DataLoader(train_ds,
+                              local_batch_slice(int(cfg.hps.batch_size)),
                               shuffle=True,
                               num_hosts=jax.process_count(),
                               host_id=jax.process_index())

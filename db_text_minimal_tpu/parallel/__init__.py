@@ -108,8 +108,10 @@ def initialize_multihost(coordinator_address: str | None = None,
                                process_id=process_id)
 
 
-def local_batch_slice(global_batch_size: int, mesh: Mesh) -> int:
-    """Per-host batch size for a host-sharded input pipeline."""
+def local_batch_slice(global_batch_size: int) -> int:
+    """Per-host batch size for a host-sharded input pipeline: the config's
+    ``hps.batch_size`` is GLOBAL; each host's loader produces this slice
+    (used by ``cli/train.py``; exercised by ``tests/test_multihost.py``)."""
     hosts = jax.process_count()
     assert global_batch_size % hosts == 0, (global_batch_size, hosts)
     return global_batch_size // hosts
