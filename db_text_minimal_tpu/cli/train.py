@@ -18,7 +18,7 @@ import time
 
 from ..config import load_config
 from ..data import DataLoader, build_dataset
-from ..parallel import initialize_multihost
+from ..parallel import initialize_multihost, local_batch_slice
 from ..train import Trainer
 
 import jax

@@ -6,10 +6,17 @@ into a serialized StableHLO artifact (plus the weights), loadable without
 re-tracing Python model code — the same deploy-without-source property
 TorchScript gave the reference's TorchServe handler
 (``src/db_handler.py:57-71``).
+
+Round-2 parity with live serving: the exported graph has a SYMBOLIC batch
+dimension (one artifact serves any micro-batch size), takes uint8 input with
+on-device Caffe-mean subtraction (4× smaller uploads), and uses the
+weight-equivalent fused inference head — the same three optimizations the
+live-model path runs. A ``.meta.json`` sidecar records the input contract.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
@@ -19,17 +26,34 @@ from flax import serialization
 
 
 def export_model(model, variables, out_path: str,
-                 input_shape=(1, 640, 640, 3)) -> str:
-    """Serialize weights + exported forward. Returns the artifact path."""
+                 input_shape=(None, 640, 640, 3),
+                 uint8_input: bool = True) -> str:
+    """Serialize weights + exported forward. ``input_shape[0] = None`` means
+    a symbolic batch dimension. With ``uint8_input`` the graph consumes raw
+    uint8 images and subtracts the Caffe means on device (the preprocessing
+    quirk of ``src/data_loaders.py:151-154`` baked into the artifact).
+    Returns the artifact path."""
     from jax import export as jax_export
 
+    from ..utils import CAFFE_MEAN
+
+    mean = jnp.asarray(CAFFE_MEAN, jnp.float32)
+
     def forward(v, x):
+        if uint8_input:
+            x = x.astype(jnp.float32) - mean
         return model.apply(v, x, train=False)
 
+    if input_shape[0] is None:
+        batch = jax_export.symbolic_shape("b")[0]
+        shape = (batch,) + tuple(input_shape[1:])
+    else:
+        shape = tuple(input_shape)
+    dtype = jnp.uint8 if uint8_input else jnp.float32
     exported = jax_export.export(jax.jit(forward))(
         jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                      variables),
-        jax.ShapeDtypeStruct(input_shape, jnp.float32))
+        jax.ShapeDtypeStruct(shape, dtype))
     blob = exported.serialize()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "wb") as f:
@@ -37,19 +61,31 @@ def export_model(model, variables, out_path: str,
     with open(out_path + ".params", "wb") as f:
         f.write(serialization.to_bytes(
             jax.tree.map(np.asarray, variables)))
+    with open(out_path + ".meta.json", "w") as f:
+        json.dump({"uint8_input": uint8_input,
+                   "symbolic_batch": input_shape[0] is None,
+                   "input_shape": list(input_shape)}, f)
     return out_path
 
 
 def load_exported(path: str):
-    """Load a serialized export + params; returns ``infer(x) -> preds``."""
+    """Load a serialized export + params; returns ``infer(x) -> preds``.
+    ``infer`` accepts uint8 images when the artifact was exported with
+    ``uint8_input`` (see the ``.meta.json`` sidecar), f32 otherwise."""
     from jax import export as jax_export
 
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
     with open(path + ".params", "rb") as f:
         variables = serialization.msgpack_restore(f.read())
+    meta = {"uint8_input": False}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    dtype = jnp.uint8 if meta.get("uint8_input") else jnp.float32
 
     def infer(x):
-        return exported.call(variables, jnp.asarray(x, jnp.float32))
+        return exported.call(variables, jnp.asarray(x, dtype))
 
+    infer.meta = meta
     return infer

@@ -42,10 +42,14 @@ class DBTextDetectionHandler:
             from ..utils import CAFFE_MEAN
 
             infer = load_exported(self.model_path)
-            # exported artifacts were traced on mean-subtracted f32 input
-            self._forward = lambda x: infer(
-                np.asarray(x, np.float32) - np.asarray(CAFFE_MEAN,
-                                                       np.float32))
+            if infer.meta.get("uint8_input"):
+                # uint8 upload; mean subtraction is baked into the graph
+                self._forward = infer
+            else:
+                # legacy artifact traced on mean-subtracted f32 input
+                self._forward = lambda x: infer(
+                    np.asarray(x, np.float32) - np.asarray(CAFFE_MEAN,
+                                                           np.float32))
         else:
             import jax
             import jax.numpy as jnp

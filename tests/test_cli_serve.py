@@ -144,7 +144,8 @@ def test_aot_export_roundtrip(trained, tmp_path):
 
     model, variables = load_model(trained["ckpt"])
     path = str(tmp_path / "db.stablehlo")
-    export_model(model, variables, path, input_shape=(1, 128, 128, 3))
+    export_model(model, variables, path, input_shape=(1, 128, 128, 3),
+                 uint8_input=False)
     infer = load_exported(path)
     x = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
     out = np.asarray(infer(x))
@@ -154,6 +155,35 @@ def test_aot_export_roundtrip(trained, tmp_path):
     # reassociation flips saturated pixels; demand agreement almost
     # everywhere rather than bitwise closeness
     assert np.mean(np.abs(out - ref) > 1e-3) < 0.01
+
+
+def test_aot_export_symbolic_batch_uint8(trained, tmp_path):
+    """Default export contract: ONE artifact serves any batch size, takes
+    raw uint8 input, matches the live fused-head model (the live serving
+    path's own preprocessing) at every size."""
+    import jax.numpy as jnp
+
+    from db_text_minimal_tpu.cli.common import load_model
+    from db_text_minimal_tpu.serve import export_model, load_exported
+    from db_text_minimal_tpu.utils import CAFFE_MEAN
+
+    model, variables = load_model(trained["ckpt"], fuse_head=True)
+    path = str(tmp_path / "db_sym.stablehlo")
+    export_model(model, variables, path,
+                 input_shape=(None, 128, 128, 3), uint8_input=True)
+    infer = load_exported(path)
+    assert infer.meta["uint8_input"] and infer.meta["symbolic_batch"]
+    for batch in (1, 3):
+        x = np.random.RandomState(batch).randint(
+            0, 255, (batch, 128, 128, 3)).astype(np.uint8)
+        out = np.asarray(infer(x))
+        assert out.shape == (batch, 128, 128, 2)
+        ref = np.asarray(model.apply(
+            variables,
+            jnp.asarray(x, jnp.float32) - jnp.asarray(CAFFE_MEAN,
+                                                      jnp.float32),
+            train=False))
+        assert np.mean(np.abs(out - ref) > 1e-3) < 0.01
 
 
 def test_train_cli_with_config_file(tmp_path, monkeypatch):
