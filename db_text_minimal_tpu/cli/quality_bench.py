@@ -68,6 +68,13 @@ def load_args(argv=None):
     parser.add_argument("--unclip_ratio", type=float, default=1.5)
     parser.add_argument("--save_checkpoint", type=str, default=None)
     parser.add_argument("--img_size", type=int, default=640)
+    parser.add_argument("--quant", action="store_true",
+                        help="evaluate the int8 PTQ inference path "
+                             "(BN-folded, selective quantization) instead "
+                             "of the float model")
+    parser.add_argument("--quant_head", action="store_true",
+                        help="with --quant: also quantize the fused head's "
+                             "256->128 conv (fastest measured config)")
     return parser.parse_args(argv)
 
 
@@ -107,10 +114,44 @@ def build_cfg(args):
     return load_config("/nonexistent-use-defaults", overrides)
 
 
-def full_eval(trainer, state, test_loader, args):
+def make_quant_forward(trainer, state, test_loader, args):
+    """Build a jitted int8-PTQ forward from the trained state, calibrated
+    on the first test batch."""
+    import jax.numpy as jnp
+
+    from ..models.head import fuse_variables
+    from ..models.quant_infer import (DEFAULT_SKIP,
+                                      calibrate_activation_scales,
+                                      prepare_quant_params,
+                                      quant_dbnet_forward)
+    from ..train.trainer import device_preprocess
+    from ..utils import CAFFE_MEAN
+
+    host_state = jax.device_get(state)
+    qv = prepare_quant_params(
+        fuse_variables({"params": host_state.params,
+                        "batch_stats": host_state.batch_stats}),
+        skip=() if args.quant_head else DEFAULT_SKIP)
+    first = next(iter(test_loader))
+    cal_img = first["img"].astype(np.float32)
+    if first["img"].dtype == np.uint8:
+        cal_img = cal_img - np.asarray(CAFFE_MEAN, np.float32)
+    qv = calibrate_activation_scales(qv, [cal_img[:2]])
+    qv = jax.device_put(qv)
+    fwd = jax.jit(quant_dbnet_forward)
+
+    def forward(device_batch):
+        return fwd(qv, device_preprocess(device_batch)["img"])
+
+    return forward
+
+
+def full_eval(trainer, state, test_loader, args, forward=None):
     """Forward the whole test set once; evaluate host vs device postprocess
     under IoU-Pascal (canonical 0.4/0.8) and DetEval (tr 0.8 / tp 0.4)."""
     size = args.img_size
+    if forward is None:
+        forward = lambda db: trainer._eval_step(state, db)[0]
     reps = {
         "host": SegDetectorRepresenter(
             thresh=args.thresh, box_thresh=args.box_thresh,
@@ -129,7 +170,7 @@ def full_eval(trainer, state, test_loader, args):
     n_images = 0
     for batch in test_loader:
         device_batch = shard_batch(array_batch(batch), trainer.mesh)
-        preds, _, _ = trainer._eval_step(state, device_batch)
+        preds = forward(device_batch)
         n_images += preds.shape[0]
         batch_shape = {"shape": [(size, size)] * preds.shape[0]}
         for rname, rep in reps.items():
@@ -189,8 +230,10 @@ def main(args=None):
             history.append(entry)
     train_wall = time.perf_counter() - t0
 
+    forward = (make_quant_forward(trainer, state, test_loader, args)
+               if args.quant else None)
     t0 = time.perf_counter()
-    results = full_eval(trainer, state, test_loader, args)
+    results = full_eval(trainer, state, test_loader, args, forward=forward)
     eval_wall = time.perf_counter() - t0
 
     if args.save_checkpoint:
@@ -214,6 +257,7 @@ def main(args=None):
             "unclip_ratio": args.unclip_ratio,
             "n_train": len(train_ds), "n_test": len(test_ds),
             "backend": jax.default_backend(),
+            "quant": bool(args.quant), "quant_head": bool(args.quant_head),
         },
         "train_wall_s": round(train_wall, 1),
         "eval_wall_s": round(eval_wall, 1),
