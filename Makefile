@@ -22,7 +22,8 @@ save_dir := $(cwd)/assets
 
 .PHONY: lint test train export test-heatmap test-poly test-rect test-all \
 	make-eval ioueval deteval serve serve-stop serve-request bench \
-	synthetic test-pp test-folder test-webcam test-video
+	synthetic test-pp test-folder test-webcam test-video \
+	hard-bench quality-bench pretrain-backbone
 
 lint:
 	python -m compileall -q db_text_minimal_tpu
@@ -35,6 +36,22 @@ train:
 
 synthetic:
 	python -m db_text_minimal_tpu.cli.make_synthetic ./data/synthetic
+
+# quality-parity proxy benchmark (docs/QUALITY_PARITY.md)
+hard-bench:
+	python -m db_text_minimal_tpu.cli.make_synthetic ./data/hard_bench --hard
+
+pretrain-backbone:
+	python -m db_text_minimal_tpu.cli.pretrain_backbone \
+		--train_dir ./data/hard_bench/train_images \
+		--gt_dir ./data/hard_bench/train_gts \
+		--out ./models/backbone_pretext.pth
+
+quality-bench:
+	python -m db_text_minimal_tpu.cli.quality_bench \
+		--data_dir ./data/hard_bench \
+		--out ./demo/hard_bench/metrics_scratch.json --epochs 10 \
+		--batch_size 16 --save_checkpoint ./models/hard_bench.ckpt
 
 test-heatmap:
 	python -m db_text_minimal_tpu.cli.test \

@@ -2,19 +2,28 @@
 
 Beyond-reference throughput path (the reference lists quantization as an
 unchecked TODO, ``README.md:108-111``): v5e multiplies int8 at 2× the bf16
-rate; the heaviest conv measured 1.42× faster in int8
-(docs/PERFORMANCE.md). Scheme:
+rate; the heaviest conv measures 1.51× faster in int8 with the full
+dequant→BN→relu→requant epilogue left to XLA's fusion (docs/PERFORMANCE.md
+round-2 probe — a hand-written Pallas epilogue kernel is SLOWER because it
+breaks XLA's conv fusion). Scheme:
 
-- weights: symmetric per-output-channel int8, quantized once offline
-  (``prepare_quant_params``);
-- activations: symmetric per-tensor int8 with *dynamic* scales (max computed
-  on the fly — no calibration set needed);
-- accumulation in int32 (``preferred_element_type``), dequantized into f32
-  for BatchNorm/relu, which stay in float.
+- BatchNorm is folded into every conv/deconv offline (γ/σ into the kernel's
+  output channels, β−μγ/σ into the bias) — inference runs zero BN ops;
+- weights: symmetric per-output-channel int8, but ONLY for convs where both
+  dims fill the MXU/lane tiling (Cout ≥ 128, Cin ≥ 64 — the int8 (32, 128)
+  tile makes narrow convs slower, not faster): resnet18 layers 2-4 and the
+  dominant FPN 1024→256 output conv. Narrow convs (stem, layer1, FPN
+  64-channel reduce/smooth, head) stay bf16;
+- activations: symmetric per-tensor int8, static calibrated scales
+  (``calibrate_activation_scales``) or dynamic abs-max fallback;
+- accumulation in int32 (``preferred_element_type``), dequantized into the
+  f32 epilogue XLA fuses into the surrounding elementwise work.
 
-The forward is a pure-functional re-statement of resnet18 + FPN + DBHead
-reading the standard ``DBTextModel`` variables tree — inference only, for
-the registered flagship configuration (``src/models.py:8-10``).
+The forward is a pure-functional re-statement of resnet18 + FPN +
+FusedDBHead reading a FOLDED variables tree built by ``prepare_quant_params``
+from standard ``DBTextModel`` variables (run ``head.fuse_variables`` first —
+the quant path uses the fused inference head). Inference only, for the
+registered flagship configuration (``src/models.py:8-10``).
 """
 
 from __future__ import annotations
@@ -25,95 +34,240 @@ import numpy as np
 
 from .layers import resize_bilinear_align_corners, resize_nearest
 
-
-def _quant_kernel(kernel):
-    """HWIO kernel → (int8 kernel, per-output-channel f32 scale)."""
-    k = np.asarray(kernel, np.float32)
-    amax = np.abs(k).max(axis=(0, 1, 2), keepdims=True)
-    scale = np.maximum(amax / 127.0, 1e-12)
-    q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
-    return q, scale.reshape(-1).astype(np.float32)
-
-
 DEFAULT_SKIP = ("segmentation_head",)
 
 
-def prepare_quant_params(variables: dict,
-                         skip: tuple = DEFAULT_SKIP) -> dict:
-    """Quantize conv kernels in a DBTextModel variables tree (leaves named
-    ``kernel`` with ndim 4), adding a sibling ``kernel_scale``. Subtrees
-    whose path contains any name in ``skip`` stay float — by default the
-    segmentation head, whose precision directly sets box scores (full-model
-    quantization measurably hurt precision; see docs/PERFORMANCE.md)."""
+# ---------------------------------------------------------------------------
+# Offline preparation: BN folding + selective int8 quantization
+# ---------------------------------------------------------------------------
 
-    def walk(node, path):
-        if not isinstance(node, dict):
+def _fold(conv: dict, bn_p: dict | None = None, bn_s: dict | None = None,
+          eps: float = 1e-5) -> dict:
+    """Fold BatchNorm into a conv/deconv node → {kernel f32, bias f32}.
+    Works for HWIO conv kernels and (kh, kw, in, out) deconv kernels — the
+    output-channel axis is last in both."""
+    k = np.asarray(conv["kernel"], np.float32)
+    b = np.asarray(conv.get("bias", np.zeros(k.shape[-1])), np.float32)
+    if bn_p is not None:
+        inv = np.float32(1.0) / np.sqrt(
+            np.asarray(bn_s["var"], np.float32) + eps)
+        g = np.asarray(bn_p["scale"], np.float32) * inv
+        k = k * g
+        b = (b - np.asarray(bn_s["mean"], np.float32)) * g \
+            + np.asarray(bn_p["bias"], np.float32)
+    return {"kernel": k, "bias": b}
+
+
+def _quantize(node: dict) -> dict:
+    """Per-output-channel symmetric int8 quantization of a folded conv."""
+    k = node["kernel"]
+    amax = np.abs(k).max(axis=(0, 1, 2), keepdims=True)
+    scale = np.maximum(amax / 127.0, 1e-12)
+    return {"kernel": np.clip(np.round(k / scale), -127,
+                              127).astype(np.int8),
+            "eff_scale": scale.reshape(-1).astype(np.float32),
+            "bias": node["bias"]}
+
+
+def prepare_quant_params(variables: dict, skip: tuple = DEFAULT_SKIP,
+                         min_out_channels: int = 128,
+                         min_in_channels: int = 64) -> dict:
+    """Standard ``DBTextModel`` variables (FusedDBHead layout — run
+    ``head.fuse_variables`` on a trained DBHead model first) → folded +
+    selectively-quantized inference tree for ``quant_dbnet_forward``.
+
+    Subtrees whose path contains a name in ``skip`` stay bf16 (default: the
+    segmentation head, whose precision directly sets box scores)."""
+    p = jax.device_get(variables["params"])
+    s = jax.device_get(variables.get("batch_stats", {}))
+
+    def maybe_quant(node, path):
+        k = node["kernel"]
+        if (any(name in path for name in skip) or k.ndim != 4
+                or k.shape[-1] < min_out_channels
+                or k.shape[-2] < min_in_channels):
             return node
-        out = {}
-        skipped = any(s in path for s in skip)
-        for key, value in node.items():
-            if isinstance(value, dict):
-                out[key] = walk(value, path + (key,))
-            elif (key == "kernel" and np.asarray(value).ndim == 4
-                  and not skipped):
-                q, s = _quant_kernel(value)
-                out["kernel"] = q
-                out["kernel_scale"] = s
-            else:
-                out[key] = value
-        return out
+        return _quantize(node)
 
-    return {"params": walk(variables["params"], ()),
-            "batch_stats": variables.get("batch_stats", {})}
+    out: dict = {"backbone": {}, "segmentation_body": {},
+                 "segmentation_head": {}}
+    bp, bs = p["backbone"], s["backbone"]
+    ob = out["backbone"]
+    ob["conv1"] = maybe_quant(_fold(bp["conv1"], bp["bn1"], bs["bn1"]),
+                              ("backbone", "conv1"))
+    for name in sorted(k for k in bp if k.startswith("layer")):
+        blk, bst = bp[name], bs[name]
+        node = {
+            "conv1": maybe_quant(_fold(blk["conv1"], blk["bn1"],
+                                       bst["bn1"]), ("backbone", name)),
+            "conv2": maybe_quant(_fold(blk["conv2"], blk["bn2"],
+                                       bst["bn2"]), ("backbone", name)),
+        }
+        if "downsample_conv" in blk:
+            node["downsample_conv"] = maybe_quant(
+                _fold(blk["downsample_conv"], blk["downsample_bn"],
+                      bst["downsample_bn"]), ("backbone", name))
+        ob[name] = node
+    np_, ns = p["segmentation_body"], s["segmentation_body"]
+    onk = out["segmentation_body"]
+    for name in ("reduce_conv_c5", "reduce_conv_c4", "reduce_conv_c3",
+                 "reduce_conv_c2", "smooth_p4", "smooth_p3", "smooth_p2"):
+        onk[name] = maybe_quant(
+            _fold(np_[name]["conv"], np_[name]["bn"], ns[name]["bn"]),
+            ("segmentation_body", name))
+    onk["conv"] = maybe_quant(_fold(np_["conv"], np_["conv_bn"],
+                                    ns["conv_bn"]),
+                              ("segmentation_body", "conv"))
+    hp, hs = p["segmentation_head"], s["segmentation_head"]
+    assert "conv1" in hp and "binarize_deconv1" in hp, \
+        "quant path expects the FusedDBHead layout (head.fuse_variables)"
+    oh = out["segmentation_head"]
+    oh["conv1"] = maybe_quant(_fold(hp["conv1"], hp["bn1"], hs["bn1"]),
+                              ("segmentation_head", "conv1"))
+    for branch in ("binarize", "thresh"):
+        oh[f"{branch}_deconv1"] = _fold(hp[f"{branch}_deconv1"],
+                                        hp[f"{branch}_bn2"],
+                                        hs[f"{branch}_bn2"])
+        oh[f"{branch}_deconv2"] = _fold(hp[f"{branch}_deconv2"])
+    return {"params": out}
 
+
+# ---------------------------------------------------------------------------
+# Folded forward
+# ---------------------------------------------------------------------------
 
 _CALIBRATION: list | None = None
 
 
-def _qconv(x, params, stride=1, pad=1, transpose=False):
-    """Quantized conv: int8×int8 → int32, dequantized. The activation scale
-    is static when calibrated (``act_scale`` present — no reduction in the
-    hot path), dynamic per-tensor otherwise. Deconvs (2×2/2) stay in bf16 —
-    tiny FLOPs, and int8 transposed conv lowers poorly."""
-    kernel = params["kernel"]
-    if transpose or kernel.dtype != jnp.int8:
-        k = jnp.asarray(kernel, jnp.bfloat16)
-        if transpose:
-            y = jax.lax.conv_transpose(
-                x.astype(jnp.bfloat16), k, strides=(stride, stride),
-                padding="SAME" if pad else "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(jnp.bfloat16), k, (stride, stride),
-                [(pad, pad), (pad, pad)],
-                dimension_numbers=jax.lax.conv_dimension_numbers(
-                    x.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
-        y = y.astype(jnp.float32)
-    else:
+def _fconv(x, node, stride=1, pad=1, relu=False):
+    """Folded conv: int8×int8→int32 when quantized (static ``act_scale``
+    if calibrated, dynamic abs-max otherwise), bf16 otherwise; bias and
+    optional relu in the f32 epilogue XLA fuses."""
+    kernel = node["kernel"]
+    if kernel.dtype == jnp.int8:
         if _CALIBRATION is not None:
             _CALIBRATION.append(jnp.max(jnp.abs(x)))
-        if "act_scale" in params:
-            sx = jnp.asarray(params["act_scale"], jnp.float32)
+        if "act_scale" in node:
+            sx = jnp.asarray(node["act_scale"], jnp.float32)
         else:
             sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6) / 127.0
-        qx = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+        qx = jnp.clip(jnp.round(x * (1.0 / sx)), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             qx, kernel, (stride, stride), [(pad, pad), (pad, pad)],
             dimension_numbers=jax.lax.conv_dimension_numbers(
                 qx.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")),
             preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * (sx * params["kernel_scale"])
-    if "bias" in params:
-        y = y + jnp.asarray(params["bias"], jnp.float32)
-    return y
+        y = y.astype(jnp.float32) * (sx * node["eff_scale"]) + node["bias"]
+    else:
+        k = jnp.asarray(kernel, jnp.bfloat16)
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k, (stride, stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
+        y = y.astype(jnp.float32) + node["bias"]
+    return jax.nn.relu(y) if relu else y
+
+
+def _fdeconv(x, node, relu=False):
+    """Folded 2×2/2 transposed conv — tiny FLOPs, stays bf16 (int8
+    transposed conv lowers poorly)."""
+    k = jnp.asarray(node["kernel"], jnp.bfloat16)
+    y = jax.lax.conv_transpose(
+        x.astype(jnp.bfloat16), k, strides=(2, 2), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.astype(jnp.float32) + node["bias"]
+    return jax.nn.relu(y) if relu else y
+
+
+def _basic_block(x, p, stride):
+    out = _fconv(x, p["conv1"], stride=stride, relu=True)
+    out = _fconv(out, p["conv2"])
+    if "downsample_conv" in p:
+        x = _fconv(x, p["downsample_conv"], stride=stride, pad=0)
+    return jax.nn.relu(out + x)
+
+
+def quant_dbnet_forward(qvars: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Eval-mode forward: (N, H, W, 3) f32 → (N, H, W, 2) maps in [0, 1]."""
+    p = qvars["params"]
+    bp = p["backbone"]
+
+    h = _fconv(x, bp["conv1"], stride=2, pad=3, relu=True)
+    h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    feats = []
+    for stage in range(1, 5):
+        stride = 1 if stage == 1 else 2
+        for block in range(2):
+            h = _basic_block(h, bp[f"layer{stage}_{block}"],
+                             stride if block == 0 else 1)
+        feats.append(h)
+    c2, c3, c4, c5 = feats
+
+    np_ = p["segmentation_body"]
+    p5 = _fconv(c5, np_["reduce_conv_c5"], pad=0, relu=True)
+    p4 = _fconv(resize_nearest(p5, c4.shape[1:3])
+                + _fconv(c4, np_["reduce_conv_c4"], pad=0, relu=True),
+                np_["smooth_p4"], relu=True)
+    p3 = _fconv(resize_nearest(p4, c3.shape[1:3])
+                + _fconv(c3, np_["reduce_conv_c3"], pad=0, relu=True),
+                np_["smooth_p3"], relu=True)
+    p2 = _fconv(resize_nearest(p3, c2.shape[1:3])
+                + _fconv(c2, np_["reduce_conv_c2"], pad=0, relu=True),
+                np_["smooth_p2"], relu=True)
+    size = p2.shape[1:3]
+    body = jnp.concatenate([p2, resize_nearest(p3, size),
+                            resize_nearest(p4, size),
+                            resize_nearest(p5, size)], axis=-1)
+    body = _fconv(body, np_["conv"], relu=True)
+
+    hp = p["segmentation_head"]
+    h1 = _fconv(body, hp["conv1"], relu=True)
+    half = h1.shape[-1] // 2
+
+    def tail(z, branch):
+        z = _fdeconv(z, hp[f"{branch}_deconv1"], relu=True)
+        z = _fdeconv(z, hp[f"{branch}_deconv2"])
+        return jax.nn.sigmoid(z)
+
+    shrink = tail(h1[..., :half], "binarize")
+    thresh = tail(h1[..., half:], "thresh")
+    y = jnp.concatenate([shrink, thresh], axis=-1)
+    return resize_bilinear_align_corners(y, x.shape[1:3])
+
+
+# ---------------------------------------------------------------------------
+# Static activation-scale calibration
+# ---------------------------------------------------------------------------
+
+def _forward_conv_order(p: dict) -> list:
+    """The int8-conv nodes in the exact order quant_dbnet_forward executes
+    them."""
+    order = []
+    bp = p["backbone"]
+    order.append(bp["conv1"])
+    for stage in range(1, 5):
+        for block in range(2):
+            blk = bp[f"layer{stage}_{block}"]
+            order.append(blk["conv1"])
+            order.append(blk["conv2"])
+            if "downsample_conv" in blk:
+                order.append(blk["downsample_conv"])
+    np_ = p["segmentation_body"]
+    order += [np_["reduce_conv_c5"], np_["reduce_conv_c4"],
+              np_["smooth_p4"], np_["reduce_conv_c3"], np_["smooth_p3"],
+              np_["reduce_conv_c2"], np_["smooth_p2"], np_["conv"]]
+    order.append(p["segmentation_head"]["conv1"])
+    return [n for n in order
+            if getattr(n.get("kernel", None), "dtype", None) == np.int8]
 
 
 def calibrate_activation_scales(qvars: dict, sample_batches) -> dict:
     """Bake static per-conv activation scales into a quantized variables
     tree: run the (dynamic) quant forward over calibration batches recording
-    each quantized conv's abs-max, then attach ``act_scale = max/127`` to
-    every int8 kernel in traversal order (the forward visits convs in a
+    each quantized conv's input abs-max, then attach ``act_scale = max/127``
+    to every int8 conv in traversal order (the forward visits convs in a
     deterministic order)."""
     global _CALIBRATION
     maxes = None
@@ -129,115 +283,3 @@ def calibrate_activation_scales(qvars: dict, sample_batches) -> dict:
     for node, scale in zip(ordered, np.maximum(maxes, 1e-6) / 127.0):
         node["act_scale"] = np.float32(scale)
     return qvars
-
-
-def _forward_conv_order(p: dict) -> list:
-    """The int8-conv param dicts in the exact order quant_dbnet_forward
-    executes them."""
-    order = []
-    bp = p["backbone"]
-    order.append(bp["conv1"])
-    for stage in range(1, 5):
-        for block in range(2):
-            blk = bp[f"layer{stage}_{block}"]
-            order.append(blk["conv1"])
-            order.append(blk["conv2"])
-            if "downsample_conv" in blk:
-                order.append(blk["downsample_conv"])
-    np_ = p["segmentation_body"]
-    order.append(np_["reduce_conv_c5"]["conv"])
-    order.append(np_["reduce_conv_c4"]["conv"])
-    order.append(np_["smooth_p4"]["conv"])
-    order.append(np_["reduce_conv_c3"]["conv"])
-    order.append(np_["smooth_p3"]["conv"])
-    order.append(np_["reduce_conv_c2"]["conv"])
-    order.append(np_["smooth_p2"]["conv"])
-    order.append(np_["conv"])
-    # head convs only when quantized (not in DEFAULT_SKIP runs)
-    hp = p.get("segmentation_head", {})
-    for branch in ("binarize", "thresh"):
-        conv1 = hp.get(branch, {}).get("conv1", {})
-        if getattr(conv1.get("kernel", None), "dtype", None) == np.int8:
-            order.append(conv1)
-    return [node for node in order
-            if getattr(node.get("kernel", None), "dtype", None) == np.int8]
-
-
-def _bn(x, params, stats, eps=1e-5):
-    inv = jax.lax.rsqrt(jnp.asarray(stats["var"], jnp.float32) + eps)
-    return ((x - stats["mean"]) * inv * params["scale"] + params["bias"])
-
-
-def _bn_relu(x, params, stats):
-    return jax.nn.relu(_bn(x, params, stats))
-
-
-def _basic_block(x, p, s, stride):
-    residual = x
-    out = _qconv(x, p["conv1"], stride=stride)
-    out = _bn_relu(out, p["bn1"], s["bn1"])
-    out = _qconv(out, p["conv2"])
-    out = _bn(out, p["bn2"], s["bn2"])
-    if "downsample_conv" in p:
-        residual = _qconv(x, p["downsample_conv"], stride=stride, pad=0)
-        residual = _bn(residual, p["downsample_bn"], s["downsample_bn"])
-    return jax.nn.relu(out + residual)
-
-
-def quant_dbnet_forward(qvars: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """Eval-mode forward: (N, H, W, 3) f32 → (N, H, W, 2) maps in [0, 1]."""
-    p, s = qvars["params"], qvars["batch_stats"]
-    bp, bs = p["backbone"], s["backbone"]
-
-    h = _qconv(x, bp["conv1"], stride=2, pad=3)
-    h = _bn_relu(h, bp["bn1"], bs["bn1"])
-    h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
-    feats = []
-    for stage in range(1, 5):
-        stride = 1 if stage == 1 else 2
-        for block in range(2):
-            name = f"layer{stage}_{block}"
-            h = _basic_block(h, bp[name], bs[name],
-                             stride if block == 0 else 1)
-        feats.append(h)
-    c2, c3, c4, c5 = feats
-
-    np_, ns = p["segmentation_body"], s["segmentation_body"]
-
-    def reduce_conv(c, name):
-        y = _qconv(c, np_[name]["conv"], pad=0)
-        return _bn_relu(y, np_[name]["bn"], ns[name]["bn"])
-
-    def smooth(y, name):
-        y = _qconv(y, np_[name]["conv"])
-        return _bn_relu(y, np_[name]["bn"], ns[name]["bn"])
-
-    p5 = reduce_conv(c5, "reduce_conv_c5")
-    p4 = smooth(resize_nearest(p5, c4.shape[1:3])
-                + reduce_conv(c4, "reduce_conv_c4"), "smooth_p4")
-    p3 = smooth(resize_nearest(p4, c3.shape[1:3])
-                + reduce_conv(c3, "reduce_conv_c3"), "smooth_p3")
-    p2 = smooth(resize_nearest(p3, c2.shape[1:3])
-                + reduce_conv(c2, "reduce_conv_c2"), "smooth_p2")
-    size = p2.shape[1:3]
-    body = jnp.concatenate([p2, resize_nearest(p3, size),
-                            resize_nearest(p4, size),
-                            resize_nearest(p5, size)], axis=-1)
-    body = _qconv(body, np_["conv"])
-    body = _bn_relu(body, np_["conv_bn"], ns["conv_bn"])
-
-    hp, hs = p["segmentation_head"], s["segmentation_head"]
-
-    def branch(z, bpz, bsz):
-        z = _qconv(z, bpz["conv1"])
-        z = _bn_relu(z, bpz["bn1"], bsz["bn1"])
-        z = _qconv(z, bpz["deconv1"], stride=2, transpose=True)
-        z = _bn_relu(z, bpz["bn2"], bsz["bn2"])
-        z = _qconv(z, bpz["deconv2"], stride=2, transpose=True)
-        return jax.nn.sigmoid(z)
-
-    shrink = branch(body, hp["binarize"], hs["binarize"])
-    thresh = branch(body, hp["thresh"], hs["thresh"])
-    y = jnp.concatenate([shrink, thresh], axis=-1)
-    return resize_bilinear_align_corners(y, x.shape[1:3])

@@ -194,14 +194,16 @@ def test_step_timer():
 
 
 def test_quant_inference_runs_and_tracks_float():
-    """Experimental int8 PTQ path (head kept float): runs and stays close
-    to the float forward away from sigmoid cliffs."""
+    """Int8 PTQ path (BN folded, wide convs int8, head/narrow convs bf16):
+    runs and stays close to the float forward away from sigmoid cliffs."""
     import jax
     import jax.numpy as jnp
 
     from db_text_minimal_tpu.models import DBTextModel
+    from db_text_minimal_tpu.models.head import fuse_variables
     from db_text_minimal_tpu.models.quant_infer import (
-        prepare_quant_params, quant_dbnet_forward)
+        calibrate_activation_scales, prepare_quant_params,
+        quant_dbnet_forward)
 
     m = DBTextModel()
     x = jnp.asarray(
@@ -209,11 +211,21 @@ def test_quant_inference_runs_and_tracks_float():
         * 255 - 115)
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     ref = np.asarray(m.apply(v, x, train=False))
-    qv = prepare_quant_params(jax.device_get(v))
-    # head kernels stay float; backbone kernels are int8
-    assert qv["params"]["backbone"]["conv1"]["kernel"].dtype == np.int8
-    assert "kernel_scale" not in \
-        qv["params"]["segmentation_head"]["binarize"]["conv1"]
+    qv = prepare_quant_params(fuse_variables(jax.device_get(v)))
+    qp = qv["params"]
+    # narrow convs stay float (stem 3->64, layer1 64ch, FPN 64ch, head)
+    assert qp["backbone"]["conv1"]["kernel"].dtype == np.float32
+    assert qp["backbone"]["layer1_0"]["conv1"]["kernel"].dtype == np.float32
+    assert qp["segmentation_body"]["smooth_p2"]["kernel"].dtype == np.float32
+    assert qp["segmentation_head"]["conv1"]["kernel"].dtype == np.float32
+    # wide convs are int8
+    assert qp["backbone"]["layer3_0"]["conv1"]["kernel"].dtype == np.int8
+    assert qp["segmentation_body"]["conv"]["kernel"].dtype == np.int8
     out = np.asarray(quant_dbnet_forward(qv, x))
     assert out.shape == ref.shape
     assert np.abs(out - ref).mean() < 0.02
+    # static calibration: every int8 conv gets an act_scale; output close
+    qv = calibrate_activation_scales(qv, [np.asarray(x)])
+    assert "act_scale" in qp["backbone"]["layer3_0"]["conv1"]
+    out2 = np.asarray(quant_dbnet_forward(qv, x))
+    assert np.abs(out2 - ref).mean() < 0.02
