@@ -1,0 +1,38 @@
+"""Quality-benchmark driver smoke test (tiny CPU run)."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.mark.slow
+def test_quality_bench_end_to_end(tmp_path):
+    from db_text_minimal_tpu.data.synthetic import generate
+    from db_text_minimal_tpu.cli.quality_bench import load_args, main
+
+    generate(str(tmp_path / "ds"), n_train=2, n_test=2, size=192, seed=11)
+    out = str(tmp_path / "metrics.json")
+    ckpt = str(tmp_path / "m.ckpt")
+    args = load_args(["--data_dir", str(tmp_path / "ds"), "--out", out,
+                      "--epochs", "1", "--batch_size", "2",
+                      "--test_batch_size", "2", "--img_size", "192",
+                      "--eval_every", "1", "--save_checkpoint", ckpt])
+    report = main(args)
+    assert os.path.exists(out) and os.path.exists(ckpt)
+    data = json.load(open(out))
+    for rep in ("host", "device"):
+        for proto in ("iou_pascal", "deteval"):
+            assert set(data["results"][rep][proto]) == {
+                "precision", "recall", "hmean"}
+    assert data["results"]["n_test_images"] == 2
+    assert len(data["history"]) == 1 and "test_loss" in data["history"][0]
+
+    # eval_only + quant path reuses the checkpoint
+    out2 = str(tmp_path / "metrics_q.json")
+    args = load_args(["--data_dir", str(tmp_path / "ds"), "--out", out2,
+                      "--eval_only", "--checkpoint", ckpt, "--quant",
+                      "--test_batch_size", "2", "--img_size", "192"])
+    report = main(args)
+    assert report["config"]["quant"] is True
+    assert os.path.exists(out2)
