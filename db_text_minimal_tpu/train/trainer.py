@@ -50,18 +50,30 @@ def array_batch(batch: dict) -> dict:
 def device_preprocess(batch: dict) -> dict:
     """On-device tail of preprocessing for compact-dtype batches: uint8
     image → float32 − Caffe means (RGB order, the reference quirk), compact
-    GT maps → float32. Float32 batches (mean already subtracted on host)
-    pass through — both pipelines produce identical values."""
+    GT maps → float32, bit-packed binary maps (8 px/byte) unpacked. Float32
+    batches (mean already subtracted on host) pass through — all pipelines
+    produce identical values (binary maps are exact either way)."""
     from ..utils import CAFFE_MEAN
 
     img = batch["img"]
     if img.dtype == jnp.uint8:
         img = img.astype(jnp.float32) - jnp.asarray(CAFFE_MEAN, jnp.float32)
+    width = img.shape[-2]
     out = {"img": img}
+
+    def unpack_bits(v):
+        # np.packbits order: first pixel = MSB
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (v[..., None] >> shifts) & jnp.uint8(1)
+        return bits.reshape(v.shape[:-1] + (v.shape[-1] * 8,))
+
     for key in ("prob_map", "supervision_mask", "thresh_map",
                 "text_area_map"):
         if key in batch:
-            out[key] = batch[key].astype(jnp.float32)
+            v = batch[key]
+            if v.dtype == jnp.uint8 and v.shape[-1] * 8 == width:
+                v = unpack_bits(v)
+            out[key] = v.astype(jnp.float32)
     return out
 
 

@@ -281,6 +281,9 @@ def test_compact_dtypes_pipeline_equivalence(synth_dir):
     a, b = ds_f32[0], ds_u8[0]
     assert b["img"].dtype == np.uint8
     assert b["prob_map"].dtype == np.uint8
+    # binary maps ship bit-packed: 8 pixels per byte along the width
+    assert b["prob_map"].shape[-1] * 8 == a["prob_map"].shape[-1]
+    assert b["supervision_mask"].shape == b["prob_map"].shape
     assert b["thresh_map"].dtype == np.float16
     dec = device_preprocess({k: jnp.asarray(v[None]) for k, v in b.items()
                              if k != "image_path" and k != "anns"
