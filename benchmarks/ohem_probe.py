@@ -1,6 +1,13 @@
 """Measure the cost of true-OHEM (reduction='none': full-map sort) vs the
-reference's degenerate 'mean' inside a full train step on TPU."""
+reference's degenerate 'mean' inside a full train step on TPU.
 
+Methodology (docs/PERFORMANCE.md): chain STEPS steps inside one jit via
+``lax.scan`` with a varying carry (params perturbed by the loss gradient so
+XLA cannot hoist the body), force completion with a scalar readback, report
+the median of 3 timed scans. Prints one JSON line.
+"""
+
+import json
 import time
 from functools import partial
 
@@ -12,16 +19,6 @@ from db_text_minimal_tpu import losses as L
 from db_text_minimal_tpu.models import DBTextModel
 
 BS, SIZE, STEPS = 16, 640, 5
-
-
-def timed(fn, *args, repeats=3):
-    float(fn(*args))
-    ts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
 
 
 model = DBTextModel(dtype=jnp.bfloat16)
@@ -37,9 +34,8 @@ tgt = jnp.asarray(rs.rand(BS, SIZE, SIZE).astype(np.float32))
 tmask = prob_gt
 
 
-def make_step(reduction):
-    @partial(jax.jit, static_argnums=())
-    def step(params, stats, img):
+def make_scan(reduction):
+    def one_step(p, img):
         def loss_fn(p):
             preds, mut = model.apply({"params": p, "batch_stats": stats},
                                      img, train=True,
@@ -48,17 +44,39 @@ def make_step(reduction):
                             reduction=reduction)
             return out.total_loss, mut
 
-        (loss, _), grads = jax.value_and_grad(loss_fn,
-                                              has_aux=True)(params)
-        leaves = jax.tree_util.tree_leaves(grads)
-        return loss + sum(jnp.sum(jnp.abs(g)).astype(jnp.float32) * 0
-                          for g in leaves[:1])
-    return step
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        # SGD-like carry update keeps the body loop-variant (no hoisting).
+        p = jax.tree_util.tree_map(
+            lambda a, g: a - 1e-9 * g.astype(a.dtype), p, grads)
+        return p, loss
+
+    @jax.jit
+    def scan(params, img):
+        params, losses = jax.lax.scan(
+            lambda p, _: one_step(p, img), params, None, length=STEPS)
+        return losses[-1]
+
+    return scan
+
+
+def timed(fn, *args, repeats=3):
+    float(fn(*args))  # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
 
 
 if __name__ == "__main__":
+    out = {"batch_size": BS, "img_size": SIZE, "steps_per_scan": STEPS,
+           "backend": jax.default_backend()}
     for reduction in ("mean", "none"):
-        step = make_step(reduction)
-        dt = timed(step, params, stats, img)
-        print(f"reduction={reduction:5s}: {dt*1000:8.1f} ms/step "
-              f"(bs {BS}, {BS/dt:6.1f} img/s)")
+        scan = make_scan(reduction)
+        dt = timed(scan, params, img) / STEPS
+        out[reduction] = {"ms_per_step": round(dt * 1000, 1),
+                          "img_per_s": round(BS / dt, 1)}
+    out["none_over_mean"] = round(
+        out["none"]["ms_per_step"] / out["mean"]["ms_per_step"], 3)
+    print(json.dumps(out))
