@@ -69,15 +69,46 @@ def _quantize(node: dict) -> dict:
             "bias": node["bias"]}
 
 
+def _s2d_stem_kernel(k7: np.ndarray) -> np.ndarray:
+    """Rewrite the stem's 7×7/s2 kernel (kh, kw, 3, 64) into the exact
+    weight-equivalent 4×4/s1 kernel over a 2×2 space-to-depth input
+    (kh', kw', 12, 64).
+
+    The 3-channel 640² input leaves the MXU/lane tiling mostly empty; after
+    space-to-depth the same conv runs on a 320²×12 tensor. Derivation: pad
+    the 7×7 kernel to 8×8 with a leading zero row/col (tap offset −4), then
+    fold each 2×2 spatial block into channels in (dy, dx, c) order — the
+    order ``_space_to_depth`` produces. Output positions/values are
+    bit-for-bit the taps of the original stride-2 conv with pad 3; the
+    equivalent conv uses stride 1 with asymmetric pad (2, 1)."""
+    kh, kw, cin, cout = k7.shape
+    k8 = np.zeros((kh + 1, kw + 1, cin, cout), k7.dtype)
+    k8[1:, 1:] = k7
+    k4 = k8.reshape((kh + 1) // 2, 2, (kw + 1) // 2, 2, cin, cout)
+    k4 = k4.transpose(0, 2, 1, 3, 4, 5)
+    return k4.reshape((kh + 1) // 2, (kw + 1) // 2, 4 * cin, cout)
+
+
+def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) → (N, H/2, W/2, 4C), channel order (dy, dx, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
 def prepare_quant_params(variables: dict, skip: tuple = DEFAULT_SKIP,
                          min_out_channels: int = 128,
-                         min_in_channels: int = 64) -> dict:
+                         min_in_channels: int = 64,
+                         stem_s2d: bool = False) -> dict:
     """Standard ``DBTextModel`` variables (FusedDBHead layout — run
     ``head.fuse_variables`` on a trained DBHead model first) → folded +
     selectively-quantized inference tree for ``quant_dbnet_forward``.
 
     Subtrees whose path contains a name in ``skip`` stay bf16 (default: the
-    segmentation head, whose precision directly sets box scores)."""
+    segmentation head, whose precision directly sets box scores).
+    ``stem_s2d`` rewrites the stem conv into its space-to-depth form
+    (``_s2d_stem_kernel``); the forward detects the rewritten kernel shape
+    and space-to-depths the input accordingly."""
     p = jax.device_get(variables["params"])
     s = jax.device_get(variables.get("batch_stats", {}))
 
@@ -93,8 +124,10 @@ def prepare_quant_params(variables: dict, skip: tuple = DEFAULT_SKIP,
                  "segmentation_head": {}}
     bp, bs = p["backbone"], s["backbone"]
     ob = out["backbone"]
-    ob["conv1"] = maybe_quant(_fold(bp["conv1"], bp["bn1"], bs["bn1"]),
-                              ("backbone", "conv1"))
+    stem = _fold(bp["conv1"], bp["bn1"], bs["bn1"])
+    if stem_s2d:
+        stem["kernel"] = _s2d_stem_kernel(stem["kernel"])
+    ob["conv1"] = maybe_quant(stem, ("backbone", "conv1"))
     for name in sorted(k for k in bp if k.startswith("layer")):
         blk, bst = bp[name], bs[name]
         node = {
@@ -142,8 +175,11 @@ _CALIBRATION: list | None = None
 def _fconv(x, node, stride=1, pad=1, relu=False):
     """Folded conv: int8×int8→int32 when quantized (static ``act_scale``
     if calibrated, dynamic abs-max otherwise), bf16 otherwise; bias and
-    optional relu in the f32 epilogue XLA fuses."""
+    optional relu in the f32 epilogue XLA fuses. ``pad`` is a symmetric
+    int or an explicit ((lo, hi), (lo, hi))."""
     kernel = node["kernel"]
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
     if kernel.dtype == jnp.int8:
         if _CALIBRATION is not None:
             _CALIBRATION.append(jnp.max(jnp.abs(x)))
@@ -153,7 +189,7 @@ def _fconv(x, node, stride=1, pad=1, relu=False):
             sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6) / 127.0
         qx = jnp.clip(jnp.round(x * (1.0 / sx)), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
-            qx, kernel, (stride, stride), [(pad, pad), (pad, pad)],
+            qx, kernel, (stride, stride), pad,
             dimension_numbers=jax.lax.conv_dimension_numbers(
                 qx.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")),
             preferred_element_type=jnp.int32)
@@ -161,8 +197,7 @@ def _fconv(x, node, stride=1, pad=1, relu=False):
     else:
         k = jnp.asarray(kernel, jnp.bfloat16)
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), k, (stride, stride),
-            [(pad, pad), (pad, pad)],
+            x.astype(jnp.bfloat16), k, (stride, stride), pad,
             dimension_numbers=jax.lax.conv_dimension_numbers(
                 x.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
         y = y.astype(jnp.float32) + node["bias"]
@@ -188,12 +223,24 @@ def _basic_block(x, p, stride):
     return jax.nn.relu(out + x)
 
 
-def quant_dbnet_forward(qvars: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """Eval-mode forward: (N, H, W, 3) f32 → (N, H, W, 2) maps in [0, 1]."""
+def quant_dbnet_forward(qvars: dict, x: jnp.ndarray,
+                        prob_only: bool = False) -> jnp.ndarray:
+    """Eval-mode forward: (N, H, W, 3) f32 → (N, H, W, 2) maps in [0, 1].
+
+    ``prob_only`` skips the threshold branch entirely and returns
+    (N, H, W, 1) — box/polygon postprocess reads only the prob map
+    (reference ``src/postprocess.py:33``), so detection-serving and offline
+    eval don't pay for the unused thresh tail (2 deconvs + sigmoid at
+    full resolution)."""
     p = qvars["params"]
     bp = p["backbone"]
 
-    h = _fconv(x, bp["conv1"], stride=2, pad=3, relu=True)
+    stem = bp["conv1"]
+    if stem["kernel"].shape[0] == 4:  # space-to-depth stem (stem_s2d)
+        h = _fconv(_space_to_depth(x), stem, stride=1,
+                   pad=((2, 1), (2, 1)), relu=True)
+    else:
+        h = _fconv(x, stem, stride=2, pad=3, relu=True)
     h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
                               (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
     feats = []
@@ -232,6 +279,8 @@ def quant_dbnet_forward(qvars: dict, x: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.sigmoid(z)
 
     shrink = tail(h1[..., :half], "binarize")
+    if prob_only:
+        return resize_bilinear_align_corners(shrink, x.shape[1:3])
     thresh = tail(h1[..., half:], "thresh")
     y = jnp.concatenate([shrink, thresh], axis=-1)
     return resize_bilinear_align_corners(y, x.shape[1:3])

@@ -229,3 +229,38 @@ def test_quant_inference_runs_and_tracks_float():
     assert "act_scale" in qp["backbone"]["layer3_0"]["conv1"]
     out2 = np.asarray(quant_dbnet_forward(qv, x))
     assert np.abs(out2 - ref).mean() < 0.02
+
+
+def test_s2d_stem_and_prob_only_match_standard_forward():
+    """Space-to-depth stem is weight-equivalent to the 7×7/s2 stem, and
+    prob_only returns exactly the prob channel of the full forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from db_text_minimal_tpu.models import DBTextModel
+    from db_text_minimal_tpu.models.head import fuse_variables
+    from db_text_minimal_tpu.models.quant_infer import (
+        prepare_quant_params, quant_dbnet_forward)
+
+    m = DBTextModel()
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(1, 128, 128, 3).astype(np.float32)
+        * 255 - 115)
+    v = fuse_variables(jax.device_get(
+        m.init(jax.random.PRNGKey(1), x, train=False)))
+    # no quantization (thresholds unreachable) isolates the stem rewrite
+    base = prepare_quant_params(v, min_out_channels=10**9)
+    s2d = prepare_quant_params(v, min_out_channels=10**9, stem_s2d=True)
+    assert s2d["params"]["backbone"]["conv1"]["kernel"].shape[:3] \
+        == (4, 4, 12)
+    out = np.asarray(quant_dbnet_forward(base, x))
+    out_s2d = np.asarray(quant_dbnet_forward(s2d, x))
+    # bf16 conv compute: identical taps, different summation order
+    assert np.abs(out_s2d - out).max() < 2e-2
+    assert np.abs(out_s2d - out).mean() < 1e-3
+
+    prob = np.asarray(quant_dbnet_forward(s2d, x, prob_only=True))
+    assert prob.shape == out.shape[:3] + (1,)
+    np.testing.assert_array_equal(
+        prob[..., 0], np.asarray(
+            quant_dbnet_forward(s2d, x))[..., 0])
