@@ -37,6 +37,35 @@ def _bce(pred: jnp.ndarray, gt: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     return -(gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p))
 
 
+def _topk_sum(values: jnp.ndarray, k: jnp.ndarray,
+              iters: int = 34) -> jnp.ndarray:
+    """Sum of the ``k`` largest entries of a non-negative array, with
+    ``k`` traced (dynamic under jit) — NO sort.
+
+    A full-map descending sort is O(N log N) over millions of elements and
+    measured 1.7× on the whole train step (demo/hard_bench/ohem_probe.json);
+    instead, bisect for the k-th largest value t (count(values > t) is
+    monotone in t, ~34 elementwise passes shrink the bracket below f32 ulp)
+    and take the tie-corrected threshold sum
+    ``Σ values·[values > t] + t·(k − count(values > t))`` — exactly the
+    top-k sum when ties at t are counted fractionally. Gradient matches
+    torch ``topk``: selected elements get 1, the threshold is
+    stop-gradient."""
+    sg = jax.lax.stop_gradient(values)
+    hi0 = jnp.maximum(jnp.max(sg), 1.0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        keep_lo = jnp.sum(sg > mid) >= k
+        return (jnp.where(keep_lo, mid, lo), jnp.where(keep_lo, hi, mid))
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (-1.0 * hi0, hi0))
+    above = (sg > lo).astype(values.dtype)
+    cnt = jnp.sum(above)
+    return jnp.sum(values * above) + jax.lax.stop_gradient(lo) * (k - cnt)
+
+
 def ohem_balance_bce(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
                      negative_ratio: float = 3.0, eps: float = 1e-6,
                      reduction: str = "mean") -> jnp.ndarray:
@@ -55,11 +84,8 @@ def ohem_balance_bce(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
     else:
         loss = _bce(pred, gt)
         positive_sum = jnp.sum(loss * positive)
-        # top-k negatives with traced k: sort descending, keep rank < k
-        neg_flat = jnp.ravel(loss * negative)
-        neg_sorted = jnp.sort(neg_flat)[::-1]
-        ranks = jnp.arange(neg_flat.shape[0], dtype=jnp.float32)
-        negative_sum = jnp.sum(jnp.where(ranks < no_negative, neg_sorted, 0.0))
+        # top-k negatives with traced k, sort-free (bisection threshold)
+        negative_sum = _topk_sum(loss * negative, no_negative)
 
     return (positive_sum + negative_sum) / (no_positive + no_negative + eps)
 

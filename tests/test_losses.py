@@ -120,3 +120,21 @@ def test_reduce_lr_on_plateau():
     for _ in range(2):                  # 2 bad epochs tolerated
         assert s.step(0.95) == 1.0
     assert s.step(0.95) == pytest.approx(0.2)  # 3rd bad epoch -> cut
+
+
+def test_topk_sum_matches_sort(rng):
+    from db_text_minimal_tpu.losses import _topk_sum
+
+    vals = rng.rand(5000).astype(np.float32) * 12.0
+    vals[rng.rand(5000) > 0.6] = 0.0          # masked-out zeros
+    vals[:100] = vals[100:200]                # force ties
+    for k in (0, 1, 7, 500, 4999):
+        want = float(np.sort(vals)[::-1][:k].sum())
+        got = float(_topk_sum(jnp.asarray(vals), jnp.float32(k)))
+        assert got == pytest.approx(want, rel=1e-5, abs=1e-3), k
+    # gradient: selected elements get 1, others 0 (away from ties)
+    import jax
+
+    v = jnp.asarray(np.array([5.0, 3.0, 1.0, 0.5], np.float32))
+    g = jax.grad(lambda x: _topk_sum(x, jnp.float32(2)))(v)
+    np.testing.assert_allclose(np.asarray(g), [1, 1, 0, 0], atol=1e-6)
