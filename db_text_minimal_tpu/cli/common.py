@@ -49,6 +49,35 @@ def make_forward(model: DBTextModel):
     return forward
 
 
+def make_folded_forward(variables, quantize: bool = False,
+                        stem_s2d: bool = True, prob_only: bool = False,
+                        calibration=None):
+    """Folded inference forward for the flagship resnet18+FPN config
+    (``models/quant_infer``): BN folded offline, optional int8 PTQ of the
+    MXU-filling convs, optional space-to-depth stem and prob-only head.
+    ``variables`` must be in FusedDBHead layout (``load_model`` with
+    ``fuse_head=True``). Returns a ``forward(variables_ignored, x)``
+    drop-in for ``make_forward``'s signature."""
+    from functools import partial
+
+    from ..models.quant_infer import (calibrate_activation_scales,
+                                      prepare_quant_params,
+                                      quant_dbnet_forward)
+
+    qv = prepare_quant_params(
+        jax.device_get(variables),
+        # skip=() quantizes the fused head conv1 too — the fastest measured
+        # config (docs/PERFORMANCE.md int8 table)
+        skip=(),
+        min_out_channels=128 if quantize else 10**9,
+        stem_s2d=stem_s2d)
+    if quantize and calibration is not None:
+        qv = calibrate_activation_scales(qv, calibration)
+    qv = jax.device_put(qv)
+    fwd = jax.jit(partial(quant_dbnet_forward, prob_only=prob_only))
+    return lambda _variables, x: fwd(qv, x)
+
+
 def add_inference_args(parser: argparse.ArgumentParser) -> None:
     """The shared argparse surface of ``src/test.py:21-42``."""
     parser.add_argument("--image_path", type=str, default="./assets/foo.jpg")

@@ -53,6 +53,12 @@ def load_args(argv=None):
                              "device (threshold+CC+min-rects under jit; K "
                              "records D2H instead of full maps). Ignored "
                              "when --is_output_polygon.")
+    parser.add_argument("--infer_mode", type=str, default="flax",
+                        choices=("flax", "folded", "int8"),
+                        help="flax = parity forward; folded = BN-folded "
+                             "s2d-stem prob-only forward (same numerics "
+                             "class, faster); int8 = + PTQ of the wide "
+                             "convs (dynamic activation scales)")
     parser.add_argument("--preds_fp", type=str,
                         default="./data/result_poly_preds.pkl")
     parser.add_argument("--img_fns_fp", type=str,
@@ -131,8 +137,21 @@ def _predict_batched(forward, variables, seg_obj, args, images, sizes,
 
 def main(args):
     """``src/make_eval.py:54-122``."""
-    net, variables = load_model(args.model_path, backbone=args.backbone)
-    forward = make_forward(net)
+    if args.infer_mode != "flax":
+        assert args.backbone == "resnet18", \
+            "--infer_mode folded/int8 supports the flagship resnet18+FPN"
+        from .common import make_folded_forward
+
+        net, variables = load_model(args.model_path, backbone=args.backbone,
+                                    fuse_head=True)
+        # box/polygon extraction reads only the prob map
+        # (src/postprocess.py:33) — skip the thresh tail
+        forward = make_folded_forward(variables,
+                                      quantize=args.infer_mode == "int8",
+                                      stem_s2d=True, prob_only=True)
+    else:
+        net, variables = load_model(args.model_path, backbone=args.backbone)
+        forward = make_forward(net)
     rep_cls = (DeviceBoxRepresenter
                if args.device_boxes and not args.is_output_polygon
                else SegDetectorRepresenter)

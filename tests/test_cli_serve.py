@@ -344,3 +344,39 @@ def test_make_eval_batched_matches_single(trained, tmp_path):
                  / max(geo.union_area(s_rec["points"], b_rec["points"]),
                        1e-9) for b_rec in b_img), default=0.0)
             assert best > 0.85, (s_rec, b_img)
+
+
+def test_make_eval_folded_infer_mode_matches_flax(trained, tmp_path):
+    """--infer_mode folded (BN-folded, s2d stem, prob-only) finds the same
+    regions as the parity flax forward."""
+    from db_text_minimal_tpu.cli import make_eval
+    from db_text_minimal_tpu.ops import geometry as geo
+
+    common = [
+        "--image_dir", trained["section"]["test_dir"],
+        "--model_path", trained["ckpt"],
+        "--thresh", "0.3", "--box_thresh", "0.1",
+        "--img_fns_fp", str(tmp_path / "fns.pkl"),
+        "--device_boxes", "false", "--is_output_polygon", "false",
+    ]
+    p1 = str(tmp_path / "flax.pkl")
+    p2 = str(tmp_path / "folded.pkl")
+    make_eval.main(make_eval.load_args(common + ["--preds_fp", p1]))
+    make_eval.main(make_eval.load_args(
+        common + ["--preds_fp", p2, "--infer_mode", "folded"]))
+    with open(p1, "rb") as f:
+        flax_preds = pickle.load(f)
+    with open(p2, "rb") as f:
+        folded = pickle.load(f)
+    assert len(flax_preds) == len(folded)
+    matched = total = 0
+    for s_img, b_img in zip(flax_preds, folded):
+        for s_rec in s_img:
+            total += 1
+            best = max(
+                (geo.intersection_area(s_rec["points"], b_rec["points"])
+                 / max(geo.union_area(s_rec["points"], b_rec["points"]),
+                       1e-9) for b_rec in b_img), default=0.0)
+            if best > 0.8:
+                matched += 1
+    assert total >= 1 and matched == total
