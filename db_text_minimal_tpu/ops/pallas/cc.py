@@ -286,7 +286,7 @@ def _device_boxes_single(prob_map, thresh, box_thresh, unclip_ratio,
 
 def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
                  unclip_ratio: float = 1.5, min_size: int = 3,
-                 max_components: int = 100, num_iters: int = 16,
+                 max_components: int = 1000, num_iters: int = 16,
                  num_angles: int = 5):
     """Fully on-device rotated-box postprocess over a BATCH of prob maps
     (N, H, W): threshold → connected components → oriented min-rects →
@@ -304,7 +304,7 @@ def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
 
 
 def fast_boxes(prob_map, thresh: float = 0.3, box_thresh: float = 0.7,
-               min_size: int = 3, max_components: int = 100,
+               min_size: int = 3, max_components: int = 1000,
                num_iters: int = 16):
     """Fully on-device fast box path: threshold → CCL → per-component
     axis-aligned boxes + scores, filtered like the reference's rect mode

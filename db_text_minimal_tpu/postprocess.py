@@ -33,8 +33,13 @@ class DeviceBoxRepresenter:
     only); polygon mode stays on host for exact parity runs.
     """
 
-    def __init__(self, thresh=0.3, box_thresh=0.7, max_candidates=100,
+    def __init__(self, thresh=0.3, box_thresh=0.7, max_candidates=1000,
                  unclip_ratio=1.5, min_size=3):
+        # max_candidates matches the host representer / reference
+        # (``src/postprocess.py:11``). Component slots are assigned in
+        # raster order of each component's root pixel, so a lower cap
+        # silently drops real text below any noise speckles that come
+        # first — measured -2 kept boxes of 8 on a 150-speckle map.
         self.thresh = thresh
         self.box_thresh = box_thresh
         self.max_candidates = max_candidates

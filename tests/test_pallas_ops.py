@@ -130,6 +130,32 @@ def test_device_boxes_matches_host_rect_mode():
     assert np.all(np.asarray(scores[0])[np.asarray(keep[0])] > 0.9)
 
 
+def test_device_boxes_survive_speckle_noise():
+    """Regression: component slots are assigned in raster order of each
+    component's root pixel, so noise speckles ahead of real text must not
+    evict it past ``max_components`` (they did at the old default of 100 —
+    measured 2 of 8 words dropped on a 150-speckle 640² map)."""
+    from db_text_minimal_tpu.postprocess import (DeviceBoxRepresenter,
+                                                 SegDetectorRepresenter)
+
+    rng = np.random.RandomState(1)
+    prob = np.zeros((320, 320), np.float32)
+    for _ in range(6):
+        _draw_rot_rect(prob, rng.randint(40, 280), rng.randint(40, 280),
+                       50, 12, rng.uniform(-40, 40), val=0.9)
+    for _ in range(140):          # speckles above thresh, below min_size
+        x, y = rng.randint(2, 318), rng.randint(2, 318)
+        prob[y:y + 2, x:x + 2] = np.maximum(prob[y:y + 2, x:x + 2], 0.4)
+
+    batch = {"shape": [(320, 320)]}
+    host = SegDetectorRepresenter(thresh=0.25, box_thresh=0.5)
+    dev = DeviceBoxRepresenter(thresh=0.25, box_thresh=0.5)
+    hb, hs = host(batch, prob[None, ..., None], is_output_polygon=False)
+    db, _ = dev(batch, jnp.asarray(prob)[None, ..., None])
+    n_host = sum(1 for s in hs[0] if s > 0)
+    assert len(db[0]) == n_host > 0
+
+
 def test_device_boxes_empty_and_low_score():
     from db_text_minimal_tpu.ops.pallas.cc import device_boxes
 
