@@ -96,10 +96,38 @@ def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
 
 
+def _depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, 4C) with channel order (dy, dx, c) → (N, 2H, 2W, C) —
+    the inverse of ``_space_to_depth``."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c)
+
+
+def _d2s_deconv_kernel(k: np.ndarray) -> np.ndarray:
+    """Rewrite a 2×2/s2 transposed-conv kernel (2, 2, cin, cout) into the
+    exact weight-equivalent 1×1 kernel (1, 1, cin, 4·cout) for a 1×1 conv
+    followed by ``_depth_to_space``.
+
+    A k=2 s=2 transposed conv writes each input pixel to a disjoint 2×2
+    output block: ``y[2i+dy, 2j+dx, o] = Σ_c x[i, j, c] · k[1-dy, 1-dx, c, o]``
+    (``jax.lax.conv_transpose`` applies the kernel spatially flipped —
+    verified by delta probe) — i.e. a pure per-pixel matmul to (dy, dx, o)
+    channels. XLA lowers ``conv_transpose`` to an input-dilated conv that
+    spends 3/4 of its MACs on structural zeros and runs the head tails (the
+    largest spatial maps in the net) off the MXU's sweet spot; the 1×1 form
+    is a dense (H·W, cin)×(cin, 4·cout) matmul."""
+    kh, kw, cin, cout = k.shape
+    assert (kh, kw) == (2, 2), k.shape
+    return k[::-1, ::-1].transpose(2, 0, 1, 3).reshape(1, 1, cin, 4 * cout)
+
+
 def prepare_quant_params(variables: dict, skip: tuple = DEFAULT_SKIP,
                          min_out_channels: int = 128,
                          min_in_channels: int = 64,
-                         stem_s2d: bool = False) -> dict:
+                         stem_s2d: bool = False,
+                         deconv_d2s: bool = True) -> dict:
     """Standard ``DBTextModel`` variables (FusedDBHead layout — run
     ``head.fuse_variables`` on a trained DBHead model first) → folded +
     selectively-quantized inference tree for ``quant_dbnet_forward``.
@@ -107,8 +135,10 @@ def prepare_quant_params(variables: dict, skip: tuple = DEFAULT_SKIP,
     Subtrees whose path contains a name in ``skip`` stay bf16 (default: the
     segmentation head, whose precision directly sets box scores).
     ``stem_s2d`` rewrites the stem conv into its space-to-depth form
-    (``_s2d_stem_kernel``); the forward detects the rewritten kernel shape
-    and space-to-depths the input accordingly."""
+    (``_s2d_stem_kernel``); ``deconv_d2s`` rewrites the head's 2×2/s2
+    transposed convs into 1×1 conv + depth-to-space
+    (``_d2s_deconv_kernel``). Both are weight-exact; the forward detects
+    the rewritten kernel shapes."""
     p = jax.device_get(variables["params"])
     s = jax.device_get(variables.get("batch_stats", {}))
 
@@ -158,10 +188,14 @@ def prepare_quant_params(variables: dict, skip: tuple = DEFAULT_SKIP,
     oh["conv1"] = maybe_quant(_fold(hp["conv1"], hp["bn1"], hs["bn1"]),
                               ("segmentation_head", "conv1"))
     for branch in ("binarize", "thresh"):
-        oh[f"{branch}_deconv1"] = _fold(hp[f"{branch}_deconv1"],
-                                        hp[f"{branch}_bn2"],
-                                        hs[f"{branch}_bn2"])
-        oh[f"{branch}_deconv2"] = _fold(hp[f"{branch}_deconv2"])
+        d1 = _fold(hp[f"{branch}_deconv1"], hp[f"{branch}_bn2"],
+                   hs[f"{branch}_bn2"])
+        d2 = _fold(hp[f"{branch}_deconv2"])
+        if deconv_d2s:
+            d1["kernel"] = _d2s_deconv_kernel(d1["kernel"])
+            d2["kernel"] = _d2s_deconv_kernel(d2["kernel"])
+        oh[f"{branch}_deconv1"] = d1
+        oh[f"{branch}_deconv2"] = d2
     return {"params": out}
 
 
@@ -205,13 +239,23 @@ def _fconv(x, node, stride=1, pad=1, relu=False):
 
 
 def _fdeconv(x, node, relu=False):
-    """Folded 2×2/2 transposed conv — tiny FLOPs, stays bf16 (int8
-    transposed conv lowers poorly)."""
+    """Folded 2×2/2 transposed conv — bf16 (int8 transposed conv lowers
+    poorly). A (1, 1, cin, 4·cout) kernel selects the weight-exact
+    1×1-conv + depth-to-space form (``_d2s_deconv_kernel``): a dense MXU
+    matmul instead of the input-dilated conv XLA lowers ``conv_transpose``
+    to (which wastes 3/4 of its MACs on structural zeros)."""
     k = jnp.asarray(node["kernel"], jnp.bfloat16)
-    y = jax.lax.conv_transpose(
-        x.astype(jnp.bfloat16), k, strides=(2, 2), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    y = y.astype(jnp.float32) + node["bias"]
+    if k.shape[0] == 1:
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
+        y = _depth_to_space(y).astype(jnp.float32) + node["bias"]
+    else:
+        y = jax.lax.conv_transpose(
+            x.astype(jnp.bfloat16), k, strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.astype(jnp.float32) + node["bias"]
     return jax.nn.relu(y) if relu else y
 
 

@@ -219,6 +219,26 @@ def test_step_timer():
         pass
 
 
+def test_d2s_deconv_rewrite_exact():
+    """The head's 2×2/s2 transposed conv equals the 1×1-conv +
+    depth-to-space rewrite tap for tap (``_d2s_deconv_kernel`` — the MXU
+    form that avoids the input-dilated conv's structural zeros)."""
+    from db_text_minimal_tpu.models.quant_infer import (_d2s_deconv_kernel,
+                                                        _fdeconv)
+
+    rs = np.random.RandomState(3)
+    for cin, cout in [(64, 64), (64, 1)]:
+        k = (rs.randn(2, 2, cin, cout) / np.sqrt(cin)).astype(np.float32)
+        b = (rs.randn(cout) * 0.1).astype(np.float32)
+        x = jnp.asarray(rs.randn(2, 8, 12, cin).astype(np.float32))
+        ref = _fdeconv(x, {"kernel": k, "bias": b}, relu=True)
+        new = _fdeconv(x, {"kernel": _d2s_deconv_kernel(k), "bias": b},
+                       relu=True)
+        assert new.shape == ref.shape == (2, 16, 24, cout)
+        np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                                   atol=1e-6)
+
+
 def test_quant_inference_runs_and_tracks_float():
     """Int8 PTQ path (BN folded, wide convs int8, head/narrow convs bf16):
     runs and stays close to the float forward away from sigmoid cliffs."""
