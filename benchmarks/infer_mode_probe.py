@@ -69,6 +69,8 @@ def main():
     configs = {
         "flax_bf16_fused": (None, {}),
         "folded_bf16": (dict(min_out_channels=10**9), {}),
+        "folded_bf16_no_d2s": (dict(min_out_channels=10**9,
+                                    deconv_d2s=False), {}),
         "folded_bf16_s2d": (dict(min_out_channels=10**9, stem_s2d=True), {}),
         "folded_bf16_s2d_prob": (dict(min_out_channels=10**9,
                                       stem_s2d=True), dict(prob_only=True)),
