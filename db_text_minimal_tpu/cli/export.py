@@ -37,14 +37,25 @@ def main(argv=None):
     parser.add_argument("--float_input", action="store_true",
                         help="f32 mean-subtracted input instead of uint8 "
                              "with on-device mean subtraction")
+    parser.add_argument("--infer_mode", type=str, default="flax",
+                        choices=("flax", "folded", "int8"),
+                        help="folded: BN-folded s2d-stem d2s-deconv "
+                             "forward; int8 additionally quantizes the "
+                             "MXU-filling convs (requires the fused head)")
+    parser.add_argument("--prob_only", action="store_true",
+                        help="export the prob-map-only graph (channel 0 is "
+                             "all the detection postprocess reads)")
     args = parser.parse_args(argv)
 
+    if args.infer_mode != "flax" and args.no_fuse_head:
+        parser.error("--infer_mode folded/int8 requires the fused head")
     model, variables = load_model(args.model_path, backbone=args.backbone,
                                   fuse_head=not args.no_fuse_head)
     path = export_model(
         model, variables, args.out,
         input_shape=(args.batch, args.height, args.width, 3),
-        uint8_input=not args.float_input)
+        uint8_input=not args.float_input,
+        infer_mode=args.infer_mode, prob_only=args.prob_only)
     print(f"exported to {path} (+ {path}.params, {path}.meta.json)")
     return path
 

@@ -27,22 +27,45 @@ from flax import serialization
 
 def export_model(model, variables, out_path: str,
                  input_shape=(None, 640, 640, 3),
-                 uint8_input: bool = True) -> str:
+                 uint8_input: bool = True,
+                 infer_mode: str = "flax",
+                 prob_only: bool = False) -> str:
     """Serialize weights + exported forward. ``input_shape[0] = None`` means
     a symbolic batch dimension. With ``uint8_input`` the graph consumes raw
     uint8 images and subtracts the Caffe means on device (the preprocessing
     quirk of ``src/data_loaders.py:151-154`` baked into the artifact).
-    Returns the artifact path."""
+
+    ``infer_mode``: ``"flax"`` exports ``model.apply``; ``"folded"`` /
+    ``"int8"`` export the folded inference forward (``models/quant_infer``:
+    BN folded offline, space-to-depth stem, depth-to-space head deconvs;
+    int8 additionally quantizes the MXU-filling convs with dynamic
+    activation scales) — ``variables`` must then be in FusedDBHead layout.
+    The ``.params`` sidecar stores the folded tree. ``prob_only`` exports
+    the (N, H, W, 1) prob-map-only graph (detection postprocess reads only
+    channel 0). Returns the artifact path."""
     from jax import export as jax_export
 
     from ..utils import CAFFE_MEAN
 
     mean = jnp.asarray(CAFFE_MEAN, jnp.float32)
+    if infer_mode not in ("flax", "folded", "int8"):
+        raise ValueError(f"unknown infer_mode: {infer_mode!r}")
+    if infer_mode != "flax":
+        from ..models.quant_infer import (prepare_quant_params,
+                                          quant_dbnet_forward)
+
+        variables = prepare_quant_params(
+            jax.device_get(variables), skip=(),
+            min_out_channels=128 if infer_mode == "int8" else 10**9,
+            stem_s2d=True)
 
     def forward(v, x):
         if uint8_input:
             x = x.astype(jnp.float32) - mean
-        return model.apply(v, x, train=False)
+        if infer_mode != "flax":
+            return quant_dbnet_forward(v, x, prob_only=prob_only)
+        y = model.apply(v, x, train=False)
+        return y[..., :1] if prob_only else y
 
     if input_shape[0] is None:
         batch = jax_export.symbolic_shape("b")[0]
@@ -64,7 +87,9 @@ def export_model(model, variables, out_path: str,
     with open(out_path + ".meta.json", "w") as f:
         json.dump({"uint8_input": uint8_input,
                    "symbolic_batch": input_shape[0] is None,
-                   "input_shape": list(input_shape)}, f)
+                   "input_shape": list(input_shape),
+                   "infer_mode": infer_mode,
+                   "prob_only": prob_only}, f)
     return out_path
 
 

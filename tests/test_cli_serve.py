@@ -186,6 +186,37 @@ def test_aot_export_symbolic_batch_uint8(trained, tmp_path):
         assert np.mean(np.abs(out - ref) > 1e-3) < 0.01
 
 
+def test_aot_export_folded_prob_only(trained, tmp_path):
+    """``--infer_mode folded --prob_only`` export: the BN-folded
+    s2d-stem d2s-deconv graph with a symbolic batch agrees with the live
+    fused-head model's prob map (weight-exact rewrites, bf16 compute)."""
+    import jax.numpy as jnp
+
+    from db_text_minimal_tpu.cli.common import load_model
+    from db_text_minimal_tpu.serve import export_model, load_exported
+    from db_text_minimal_tpu.utils import CAFFE_MEAN
+
+    model, variables = load_model(trained["ckpt"], fuse_head=True)
+    path = str(tmp_path / "db_folded.stablehlo")
+    export_model(model, variables, path,
+                 input_shape=(None, 128, 128, 3), uint8_input=True,
+                 infer_mode="folded", prob_only=True)
+    infer = load_exported(path)
+    assert infer.meta["infer_mode"] == "folded" and infer.meta["prob_only"]
+    for batch in (1, 2):
+        x = np.random.RandomState(batch).randint(
+            0, 255, (batch, 128, 128, 3)).astype(np.uint8)
+        out = np.asarray(infer(x))
+        assert out.shape == (batch, 128, 128, 1)
+        ref = np.asarray(model.apply(
+            variables,
+            jnp.asarray(x, jnp.float32) - jnp.asarray(CAFFE_MEAN,
+                                                      jnp.float32),
+            train=False))[..., :1]
+        # folded path computes convs in bf16; trained sigmoids saturate
+        assert np.mean(np.abs(out - ref) > 5e-2) < 0.02
+
+
 def test_train_cli_with_config_file(tmp_path, monkeypatch):
     """Drive the config-driven train CLI end to end: yaml -> loaders ->
     Trainer.fit -> checkpoints (the `make train` surface)."""
