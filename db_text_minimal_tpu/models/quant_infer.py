@@ -37,6 +37,13 @@ from .layers import resize_bilinear_align_corners, resize_nearest
 DEFAULT_SKIP = ("segmentation_head",)
 
 
+def _compute_dtype():
+    """bf16 on accelerators; f32 on CPU, where bf16 is slow software
+    emulation (matches ``DBTextModel``'s backend-dependent dtype policy)."""
+    return (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
+            else jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Offline preparation: BN folding + selective int8 quantization
 # ---------------------------------------------------------------------------
@@ -229,9 +236,10 @@ def _fconv(x, node, stride=1, pad=1, relu=False):
             preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * (sx * node["eff_scale"]) + node["bias"]
     else:
-        k = jnp.asarray(kernel, jnp.bfloat16)
+        ct = _compute_dtype()
+        k = jnp.asarray(kernel, ct)
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), k, (stride, stride), pad,
+            x.astype(ct), k, (stride, stride), pad,
             dimension_numbers=jax.lax.conv_dimension_numbers(
                 x.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
         y = y.astype(jnp.float32) + node["bias"]
@@ -244,16 +252,17 @@ def _fdeconv(x, node, relu=False):
     1×1-conv + depth-to-space form (``_d2s_deconv_kernel``): a dense MXU
     matmul instead of the input-dilated conv XLA lowers ``conv_transpose``
     to (which wastes 3/4 of its MACs on structural zeros)."""
-    k = jnp.asarray(node["kernel"], jnp.bfloat16)
+    ct = _compute_dtype()
+    k = jnp.asarray(node["kernel"], ct)
     if k.shape[0] == 1:
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), k, (1, 1), [(0, 0), (0, 0)],
+            x.astype(ct), k, (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=jax.lax.conv_dimension_numbers(
                 x.shape, k.shape, ("NHWC", "HWIO", "NHWC")))
         y = _depth_to_space(y).astype(jnp.float32) + node["bias"]
     else:
         y = jax.lax.conv_transpose(
-            x.astype(jnp.bfloat16), k, strides=(2, 2), padding="SAME",
+            x.astype(ct), k, strides=(2, 2), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = y.astype(jnp.float32) + node["bias"]
     return jax.nn.relu(y) if relu else y

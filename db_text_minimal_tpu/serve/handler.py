@@ -30,8 +30,17 @@ import numpy as np
 class DBTextDetectionHandler:
     """``src/db_handler.py:51-106``."""
 
-    def __init__(self, model_path: str | None = None, forward=None):
+    def __init__(self, model_path: str | None = None, forward=None,
+                 infer_mode: str = "folded"):
+        """``infer_mode`` (live checkpoints only — exports bake their own):
+        ``"folded"`` (default) serves the weight-exact BN-folded forward
+        with the space-to-depth stem and depth-to-space head deconvs;
+        ``"int8"`` additionally quantizes the MXU-filling convs (PTQ,
+        dynamic activation scales); ``"flax"`` serves the plain fused-head
+        model. The folded forward is specific to the flagship resnet18+FPN
+        configuration."""
         self.model_path = model_path
+        self.infer_mode = infer_mode
         self._forward = forward
         self.initialized = forward is not None
 
@@ -61,11 +70,26 @@ class DBTextDetectionHandler:
             model, variables = load_model(self.model_path, fuse_head=True)
             mean = jnp.asarray(CAFFE_MEAN, jnp.float32)
 
-            @jax.jit
-            def fwd(x):
-                # uint8 upload; mean-subtract on device (4x less H2D)
-                x = x.astype(jnp.float32) - mean
-                return model.apply(variables, x, train=False)
+            if self.infer_mode != "flax":
+                from ..models.quant_infer import (prepare_quant_params,
+                                                  quant_dbnet_forward)
+
+                qv = jax.device_put(prepare_quant_params(
+                    jax.device_get(variables), skip=(),
+                    min_out_channels=(128 if self.infer_mode == "int8"
+                                      else 10**9),
+                    stem_s2d=True))
+
+                @jax.jit
+                def fwd(x):
+                    # uint8 upload; mean-subtract on device (4x less H2D)
+                    return quant_dbnet_forward(qv,
+                                               x.astype(jnp.float32) - mean)
+            else:
+                @jax.jit
+                def fwd(x):
+                    x = x.astype(jnp.float32) - mean
+                    return model.apply(variables, x, train=False)
 
             self._forward = fwd
         self.initialized = True

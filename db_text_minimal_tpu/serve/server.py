@@ -73,8 +73,10 @@ class _Batcher:
 
 def make_server(model_path: str, port: int = 8080,
                 model_name: str = "dbtext", handler=None,
-                max_batch: int = 8) -> ThreadingHTTPServer:
-    service = handler or DBTextDetectionHandler(model_path)
+                max_batch: int = 8,
+                infer_mode: str = "folded") -> ThreadingHTTPServer:
+    service = handler or DBTextDetectionHandler(model_path,
+                                                infer_mode=infer_mode)
     if not service.initialized:
         service.initialize()
     batcher = _Batcher(service, max_batch=max_batch)
@@ -123,9 +125,14 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--model_name", type=str, default="dbtext")
     parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--infer_mode", type=str, default="folded",
+                        choices=("flax", "folded", "int8"),
+                        help="live-checkpoint forward: BN-folded (default), "
+                             "int8 PTQ, or the plain flax model")
     args = parser.parse_args(argv)
     server = make_server(args.model_path, args.port, args.model_name,
-                         max_batch=args.max_batch)
+                         max_batch=args.max_batch,
+                         infer_mode=args.infer_mode)
     print(f"serving {args.model_name} on :{args.port}")
     server.serve_forever()
 
