@@ -42,6 +42,7 @@ class DBTextDetectionHandler:
         self.model_path = model_path
         self.infer_mode = infer_mode
         self._forward = forward
+        self._forward_prob = None   # prob-only graph for mode="boxes"
         self.initialized = forward is not None
 
     def initialize(self) -> None:
@@ -71,6 +72,8 @@ class DBTextDetectionHandler:
             mean = jnp.asarray(CAFFE_MEAN, jnp.float32)
 
             if self.infer_mode != "flax":
+                from functools import partial
+
                 from ..models.quant_infer import (prepare_quant_params,
                                                   quant_dbnet_forward)
 
@@ -80,11 +83,16 @@ class DBTextDetectionHandler:
                                       else 10**9),
                     stem_s2d=True))
 
-                @jax.jit
-                def fwd(x):
+                @partial(jax.jit, static_argnames=("prob_only",))
+                def fwd(x, prob_only=False):
                     # uint8 upload; mean-subtract on device (4x less H2D)
                     return quant_dbnet_forward(qv,
-                                               x.astype(jnp.float32) - mean)
+                                               x.astype(jnp.float32) - mean,
+                                               prob_only=prob_only)
+
+                # box mode reads only the prob map — skip the thresh tail
+                # (2 deconvs + sigmoid at the largest spatial sizes)
+                self._forward_prob = lambda x: fwd(x, prob_only=True)
             else:
                 @jax.jit
                 def fwd(x):
@@ -157,8 +165,9 @@ class DBTextDetectionHandler:
         if request is None:
             return None
         batch = self.preprocess(request)
-        preds = self.inference(batch)
         if mode == "boxes":
-            # preds stay on device; only K box records come back
-            return self.postprocess_boxes(preds)
-        return self.postprocess(preds)
+            # prob-only forward when available (folded live path); preds
+            # stay on device and only K box records come back
+            fwd = self._forward_prob or self._forward
+            return self.postprocess_boxes(fwd(batch))
+        return self.postprocess(self.inference(batch))
