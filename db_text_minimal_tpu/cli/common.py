@@ -78,6 +78,29 @@ def make_folded_forward(variables, quantize: bool = False,
     return lambda _variables, x: fwd(qv, x)
 
 
+def build_inference_forward(model_path: str, backbone: str = "resnet18",
+                            infer_mode: str = "flax",
+                            prob_only: bool = True):
+    """One-stop inference builder for the CLIs: returns
+    (model, variables, forward) where ``forward(variables, x)`` maps images
+    to prediction maps. ``infer_mode`` ``"folded"``/``"int8"`` selects the
+    BN-folded weight-exact rewrite path (``models/quant_infer``; flagship
+    resnet18+FPN only) — with ``prob_only`` it returns (N, H, W, 1), which
+    is all the detection postprocess reads (``src/postprocess.py:33``)."""
+    if infer_mode != "flax":
+        assert backbone == "resnet18", \
+            "--infer_mode folded/int8 supports the flagship resnet18+FPN"
+        net, variables = load_model(model_path, backbone=backbone,
+                                    fuse_head=True)
+        forward = make_folded_forward(variables,
+                                      quantize=infer_mode == "int8",
+                                      stem_s2d=True, prob_only=prob_only)
+    else:
+        net, variables = load_model(model_path, backbone=backbone)
+        forward = make_forward(net)
+    return net, variables, forward
+
+
 def add_inference_args(parser: argparse.ArgumentParser) -> None:
     """The shared argparse surface of ``src/test.py:21-42``."""
     parser.add_argument("--image_path", type=str, default="./assets/foo.jpg")
@@ -95,3 +118,9 @@ def add_inference_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--is_output_polygon", type=str_to_bool,
                         default=False)
     parser.add_argument("--alpha", type=float, default=0.6)
+    parser.add_argument("--infer_mode", type=str, default="flax",
+                        choices=("flax", "folded", "int8"),
+                        help="flax = parity forward; folded = BN-folded "
+                             "s2d-stem d2s-deconv prob-only forward (same "
+                             "numerics class, faster); int8 = + PTQ of the "
+                             "wide convs")

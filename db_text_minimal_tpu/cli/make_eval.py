@@ -28,7 +28,7 @@ from ..data.parsers import PARSERS
 from ..postprocess import DeviceBoxRepresenter, SegDetectorRepresenter
 from ..utils import read_img, test_preprocess, str_to_bool
 from ..utils.visualize import filter_zero_boxes
-from .common import load_model, make_forward
+from .common import build_inference_forward
 
 
 def load_args(argv=None):
@@ -137,21 +137,12 @@ def _predict_batched(forward, variables, seg_obj, args, images, sizes,
 
 def main(args):
     """``src/make_eval.py:54-122``."""
-    if args.infer_mode != "flax":
-        assert args.backbone == "resnet18", \
-            "--infer_mode folded/int8 supports the flagship resnet18+FPN"
-        from .common import make_folded_forward
 
-        net, variables = load_model(args.model_path, backbone=args.backbone,
-                                    fuse_head=True)
-        # box/polygon extraction reads only the prob map
-        # (src/postprocess.py:33) — skip the thresh tail
-        forward = make_folded_forward(variables,
-                                      quantize=args.infer_mode == "int8",
-                                      stem_s2d=True, prob_only=True)
-    else:
-        net, variables = load_model(args.model_path, backbone=args.backbone)
-        forward = make_forward(net)
+    # box/polygon extraction reads only the prob map
+    # (src/postprocess.py:33) — folded modes skip the thresh tail
+    net, variables, forward = build_inference_forward(
+        args.model_path, backbone=args.backbone,
+        infer_mode=args.infer_mode)
     rep_cls = (DeviceBoxRepresenter
                if args.device_boxes and not args.is_output_polygon
                else SegDetectorRepresenter)

@@ -20,7 +20,8 @@ import numpy as np
 
 from ..utils import read_img, test_preprocess
 from ..utils.visualize import visualize_heatmap, visualize_polygon
-from .common import add_inference_args, load_model, make_forward
+from .common import (add_inference_args, build_inference_forward,
+                     make_forward)
 
 
 def load_args(argv=None):
@@ -38,8 +39,11 @@ def main(args, net=None, variables=None):
     tmp_img = test_preprocess(img_origin, pad=False)
 
     if net is None:
-        net, variables = load_model(args.model_path, backbone=args.backbone)
-    forward = make_forward(net)
+        net, variables, forward = build_inference_forward(
+            args.model_path, backbone=args.backbone,
+            infer_mode=getattr(args, "infer_mode", "flax"))
+    else:
+        forward = make_forward(net)
 
     start = time.time()
     preds = np.asarray(forward(variables, jnp.asarray(tmp_img)))
