@@ -2,9 +2,9 @@
 
 TPU-native rebuild of ``src/losses.py``:
 - ``OHEMBalanceCrossEntropyLoss`` (:11-40) — hard-negative mining keeping the
-  top ``negative_ratio × #positives`` negative pixels. Implemented with a
-  sort-based static-shape top-k (dynamic k under jit via rank thresholding —
-  XLA-friendly, no dynamic shapes).
+  top ``negative_ratio × #positives`` negative pixels. Implemented as a
+  sort-free bisection-threshold top-k (dynamic k under jit — XLA-friendly,
+  no dynamic shapes, no O(N log N) sort; see ``_topk_sum``).
 - ``DiceLoss`` (:43-66), ``L1Loss`` (:69-82), ``DBLoss`` (:85-139) with
   ``total = alpha·dice(B̂) + ohem_bce(P) + beta·l1(T)`` and the eval-mode
   2-channel branch returning ``prob_loss + beta·threshold_loss``.
@@ -43,7 +43,8 @@ def _topk_sum(values: jnp.ndarray, k: jnp.ndarray,
     ``k`` traced (dynamic under jit) — NO sort.
 
     A full-map descending sort is O(N log N) over millions of elements and
-    measured 1.7× on the whole train step (demo/hard_bench/ohem_probe.json);
+    measured 1.7× on the whole train step
+    (demo/hard_bench/ohem_probe_sort.json);
     instead, bisect for the k-th largest value t (count(values > t) is
     monotone in t, ~34 elementwise passes shrink the bracket below f32 ulp)
     and take the tie-corrected threshold sum
