@@ -66,17 +66,21 @@ def main():
             qv = calibrate_activation_scales(qv, [cal])
         return jax.device_put(qv)
 
+    # deconv_d2s measured 13 % SLOWER (see models/quant_infer) — default off
     configs = {
         "flax_bf16_fused": (None, {}),
         "folded_bf16": (dict(min_out_channels=10**9), {}),
-        "folded_bf16_no_d2s": (dict(min_out_channels=10**9,
-                                    deconv_d2s=False), {}),
+        "folded_bf16_d2s": (dict(min_out_channels=10**9,
+                                 deconv_d2s=True), {}),
         "folded_bf16_s2d": (dict(min_out_channels=10**9, stem_s2d=True), {}),
+        "folded_bf16_prob": (dict(min_out_channels=10**9),
+                             dict(prob_only=True)),
         "folded_bf16_s2d_prob": (dict(min_out_channels=10**9,
                                       stem_s2d=True), dict(prob_only=True)),
         "int8": (dict(skip=DEFAULT_SKIP), {}),
         "int8_head": (dict(skip=()), {}),
         "int8_head_s2d": (dict(skip=(), stem_s2d=True), {}),
+        "int8_head_prob": (dict(skip=()), dict(prob_only=True)),
         "int8_head_s2d_prob": (dict(skip=(), stem_s2d=True),
                                dict(prob_only=True)),
     }

@@ -121,10 +121,16 @@ def _d2s_deconv_kernel(k: np.ndarray) -> np.ndarray:
     output block: ``y[2i+dy, 2j+dx, o] = Σ_c x[i, j, c] · k[1-dy, 1-dx, c, o]``
     (``jax.lax.conv_transpose`` applies the kernel spatially flipped —
     verified by delta probe) — i.e. a pure per-pixel matmul to (dy, dx, o)
-    channels. XLA lowers ``conv_transpose`` to an input-dilated conv that
-    spends 3/4 of its MACs on structural zeros and runs the head tails (the
-    largest spatial maps in the net) off the MXU's sweet spot; the 1×1 form
-    is a dense (H·W, cin)×(cin, 4·cout) matmul."""
+    channels.
+
+    MEASURED NEGATIVE on v5e (kept as an option, off by default): the
+    theory was that the input-dilated lowering wastes 3/4 of its MACs, but
+    the 1×1+depth-to-space form benches 13 % SLOWER end to end (722.6 vs
+    830.8 img/s, demo/hard_bench/infer_modes.json) — XLA's deconv lowering
+    is already efficient here, and the explicit reshape/transpose shuffle
+    costs extra HBM round-trips at the largest spatial maps. Same lesson
+    as the Pallas epilogue kernel: don't hand-schedule what the compiler
+    already fuses."""
     kh, kw, cin, cout = k.shape
     assert (kh, kw) == (2, 2), k.shape
     return k[::-1, ::-1].transpose(2, 0, 1, 3).reshape(1, 1, cin, 4 * cout)
@@ -134,7 +140,7 @@ def prepare_quant_params(variables: dict, skip: tuple = DEFAULT_SKIP,
                          min_out_channels: int = 128,
                          min_in_channels: int = 64,
                          stem_s2d: bool = False,
-                         deconv_d2s: bool = True) -> dict:
+                         deconv_d2s: bool = False) -> dict:
     """Standard ``DBTextModel`` variables (FusedDBHead layout — run
     ``head.fuse_variables`` on a trained DBHead model first) → folded +
     selectively-quantized inference tree for ``quant_dbnet_forward``.
