@@ -9,11 +9,12 @@ unclip) stays on host for parity; this path powers the fast box mode and
 keeps the device→host transfer down to ``max_components`` box records
 instead of full maps.
 
-Algorithm: min-label propagation with pointer jumping —
-``label ← min(label, 8-neighbor labels)`` (VPU shifts) alternated with
-``label ← label[label]`` (one gather), which collapses label chains in
-O(log diameter) rounds. Static iteration count, static shapes: everything
-jits and shards.
+Algorithm: min-label propagation, entirely gather-free —
+``label ← min(label, 8-neighbor labels)`` (VPU shifts) alternated with four
+segmented directional min-scans that propagate along whole unbroken runs
+per round (associative scans, log-depth). A convergence-checked
+``while_loop`` (static cap, static shapes) runs until labels fix-point:
+everything jits and shards.
 """
 
 from __future__ import annotations
@@ -59,7 +60,7 @@ def _segmented_min_scan(label: jnp.ndarray, mask: jnp.ndarray, axis: int,
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))
 def connected_components(bitmap: jnp.ndarray,
-                         num_iters: int = 8) -> jnp.ndarray:
+                         num_iters: int = 64) -> jnp.ndarray:
     """8-connected component labels of a binary (H, W) map. Background = -1;
     each component is labeled by the linear index of its min pixel.
 
@@ -68,13 +69,20 @@ def connected_components(bitmap: jnp.ndarray,
     that each propagate along entire unbroken runs in one step. Convergence
     is bounded by the number of "turns" in a component, not its diameter —
     text blobs converge in 1-2 rounds, serpentine worst cases in
-    O(#corners). Entirely gather-free."""
+    O(#corners). Entirely gather-free.
+
+    Runs as a convergence-checked ``while_loop`` capped at ``num_iters``:
+    typical scenes exit after 2-4 rounds (one cheap ``any``-reduction per
+    round), while long winding components get the rounds they need — a
+    FIXED 16-round loop measurably split curved/merged text on recall-heavy
+    models (a 640² spiral needs 32: 3 fragment labels at 16 iters, each
+    becoming a spurious box)."""
     h, w = bitmap.shape
     mask = bitmap > 0
     idx = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w))
     label = jnp.where(mask, idx, _INF)
 
-    def body(_, label):
+    def one_round(label):
         label = jnp.minimum(label, jnp.where(mask, _neighbor_min(label),
                                              _INF))
         for axis in (1, 0):
@@ -83,7 +91,17 @@ def connected_components(bitmap: jnp.ndarray,
                     label, _segmented_min_scan(label, mask, axis, reverse))
         return label
 
-    label = jax.lax.fori_loop(0, num_iters, body, label)
+    def cond(carry):
+        _, i, changed = carry
+        return changed & (i < num_iters)
+
+    def body(carry):
+        label, i, _ = carry
+        new = one_round(label)
+        return new, i + 1, jnp.any(new != label)
+
+    label, _, _ = jax.lax.while_loop(cond, body,
+                                     (label, jnp.int32(0), jnp.bool_(True)))
     return jnp.where(mask, label, -1)
 
 
@@ -286,7 +304,7 @@ def _device_boxes_single(prob_map, thresh, box_thresh, unclip_ratio,
 
 def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
                  unclip_ratio: float = 1.5, min_size: int = 3,
-                 max_components: int = 1000, num_iters: int = 16,
+                 max_components: int = 1000, num_iters: int = 64,
                  num_angles: int = 5):
     """Fully on-device rotated-box postprocess over a BATCH of prob maps
     (N, H, W): threshold → connected components → oriented min-rects →
@@ -305,7 +323,7 @@ def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
 
 def fast_boxes(prob_map, thresh: float = 0.3, box_thresh: float = 0.7,
                min_size: int = 3, max_components: int = 1000,
-               num_iters: int = 16):
+               num_iters: int = 64):
     """Fully on-device fast box path: threshold → CCL → per-component
     axis-aligned boxes + scores, filtered like the reference's rect mode
     (score ≥ box_thresh, min side ≥ min_size). Returns device arrays —

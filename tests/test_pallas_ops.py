@@ -130,6 +130,26 @@ def test_device_boxes_matches_host_rect_mode():
     assert np.all(np.asarray(scores[0])[np.asarray(keep[0])] > 0.9)
 
 
+def test_connected_components_converges_on_serpentine():
+    """Regression: a fixed 16-round propagation split long winding
+    components (a 640² spiral needs 32 rounds → 3 fragment labels, each a
+    spurious box on recall-heavy models); the convergence-checked loop must
+    label it as ONE component."""
+    from db_text_minimal_tpu.ops.pallas.cc import connected_components
+
+    size = 640
+    m = np.zeros((size, size), np.int32)
+    th = np.linspace(0, 6 * np.pi, 4000)
+    r = 10 + th * 8
+    xs = (320 + r * np.cos(th)).astype(int)
+    ys = (320 + r * np.sin(th)).astype(int)
+    for x, y in zip(xs, ys):
+        if 4 <= x < size - 4 and 4 <= y < size - 4:
+            m[y - 3:y + 4, x - 3:x + 4] = 1
+    lab = np.asarray(connected_components(jnp.asarray(m)))
+    assert len(np.unique(lab[lab >= 0])) == 1
+
+
 def test_device_boxes_survive_speckle_noise():
     """Regression: component slots are assigned in raster order of each
     component's root pixel, so noise speckles ahead of real text must not
