@@ -50,7 +50,7 @@ def make_forward(model: DBTextModel):
 
 
 def make_folded_forward(variables, quantize: bool = False,
-                        stem_s2d: bool = True, prob_only: bool = False,
+                        stem_s2d: bool = False, prob_only: bool = False,
                         calibration=None):
     """Folded inference forward for the flagship resnet18+FPN config
     (``models/quant_infer``): BN folded offline, optional int8 PTQ of the
@@ -64,10 +64,11 @@ def make_folded_forward(variables, quantize: bool = False,
                                       prepare_quant_params,
                                       quant_dbnet_forward)
 
+    # skip=() quantizes the fused head conv1 too; stem_s2d and deconv_d2s
+    # both measured NEGATIVE on hardware and default off (the full mode
+    # matrix is in docs/PERFORMANCE.md / demo/hard_bench/infer_modes.json)
     qv = prepare_quant_params(
         jax.device_get(variables),
-        # skip=() quantizes the fused head conv1 too — the fastest measured
-        # config (docs/PERFORMANCE.md int8 table)
         skip=(),
         min_out_channels=128 if quantize else 10**9,
         stem_s2d=stem_s2d)
@@ -94,7 +95,7 @@ def build_inference_forward(model_path: str, backbone: str = "resnet18",
                                     fuse_head=True)
         forward = make_folded_forward(variables,
                                       quantize=infer_mode == "int8",
-                                      stem_s2d=True, prob_only=prob_only)
+                                      prob_only=prob_only)
     else:
         net, variables = load_model(model_path, backbone=backbone)
         forward = make_forward(net)
@@ -121,6 +122,5 @@ def add_inference_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--infer_mode", type=str, default="flax",
                         choices=("flax", "folded", "int8"),
                         help="flax = parity forward; folded = BN-folded "
-                             "s2d-stem d2s-deconv prob-only forward (same "
-                             "numerics class, faster); int8 = + PTQ of the "
-                             "wide convs")
+                             "prob-only forward (same numerics class, "
+                             "faster); int8 = + PTQ of the wide convs")

@@ -56,9 +56,9 @@ def load_args(argv=None):
     parser.add_argument("--infer_mode", type=str, default="flax",
                         choices=("flax", "folded", "int8"),
                         help="flax = parity forward; folded = BN-folded "
-                             "s2d-stem prob-only forward (same numerics "
-                             "class, faster); int8 = + PTQ of the wide "
-                             "convs (dynamic activation scales)")
+                             "prob-only forward (same numerics class, "
+                             "faster); int8 = + PTQ of the wide convs "
+                             "(dynamic activation scales)")
     parser.add_argument("--preds_fp", type=str,
                         default="./data/result_poly_preds.pkl")
     parser.add_argument("--img_fns_fp", type=str,

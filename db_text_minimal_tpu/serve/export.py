@@ -37,9 +37,9 @@ def export_model(model, variables, out_path: str,
 
     ``infer_mode``: ``"flax"`` exports ``model.apply``; ``"folded"`` /
     ``"int8"`` export the folded inference forward (``models/quant_infer``:
-    BN folded offline, space-to-depth stem, depth-to-space head deconvs;
-    int8 additionally quantizes the MXU-filling convs with dynamic
-    activation scales) — ``variables`` must then be in FusedDBHead layout.
+    BN folded offline; int8 additionally quantizes the MXU-filling convs
+    with dynamic activation scales) — ``variables`` must then be in
+    FusedDBHead layout.
     The ``.params`` sidecar stores the folded tree. ``prob_only`` exports
     the (N, H, W, 1) prob-map-only graph (detection postprocess reads only
     channel 0). Returns the artifact path."""
@@ -54,10 +54,10 @@ def export_model(model, variables, out_path: str,
         from ..models.quant_infer import (prepare_quant_params,
                                           quant_dbnet_forward)
 
+        # stem_s2d / deconv_d2s measured negative on hardware — off
         variables = prepare_quant_params(
             jax.device_get(variables), skip=(),
-            min_out_channels=128 if infer_mode == "int8" else 10**9,
-            stem_s2d=True)
+            min_out_channels=128 if infer_mode == "int8" else 10**9)
 
     def forward(v, x):
         if uint8_input:

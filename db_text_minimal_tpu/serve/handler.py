@@ -33,8 +33,7 @@ class DBTextDetectionHandler:
     def __init__(self, model_path: str | None = None, forward=None,
                  infer_mode: str = "folded"):
         """``infer_mode`` (live checkpoints only — exports bake their own):
-        ``"folded"`` (default) serves the weight-exact BN-folded forward
-        with the space-to-depth stem and depth-to-space head deconvs;
+        ``"folded"`` (default) serves the weight-exact BN-folded forward;
         ``"int8"`` additionally quantizes the MXU-filling convs (PTQ,
         dynamic activation scales); ``"flax"`` serves the plain fused-head
         model. The folded forward is specific to the flagship resnet18+FPN
@@ -77,11 +76,11 @@ class DBTextDetectionHandler:
                 from ..models.quant_infer import (prepare_quant_params,
                                                   quant_dbnet_forward)
 
+                # stem_s2d / deconv_d2s measured negative — defaults off
                 qv = jax.device_put(prepare_quant_params(
                     jax.device_get(variables), skip=(),
                     min_out_channels=(128 if self.infer_mode == "int8"
-                                      else 10**9),
-                    stem_s2d=True))
+                                      else 10**9)))
 
                 @partial(jax.jit, static_argnames=("prob_only",))
                 def fwd(x, prob_only=False):
