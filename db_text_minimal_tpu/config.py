@@ -124,7 +124,12 @@ def default_config() -> ConfigNode:
             "lr": 0.005,
             "lr_finetune": 0.001,
             "weight_decay": 0.0,
-            "reduction": "mean",
+            # true per-pixel OHEM. Measured equal step cost to the
+            # reference's degenerate 'mean' compat mode (bisection top-k,
+            # demo/hard_bench/ohem_probe.json) and better quality
+            # (+2.0 IoU-F / +6.5 DetEval-F at 10 epochs on the hard
+            # benchmark); set 'mean' for reference train-loss parity
+            "reduction": "none",
             "alpha": 1,
             "beta": 10,
             "negative_ratio": 3,
