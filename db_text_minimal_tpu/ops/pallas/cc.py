@@ -182,11 +182,16 @@ def component_rotated_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
     (``src/postprocess.py:158-184``).
 
     Method: per-component second moments (segment sums of centered
-    coordinates) give the PCA principal angle; around it, ``num_angles``
-    candidate angles within ±15° are scored by projected-extent area and the
-    tightest wins (minAreaRect's optimal edge is always near the principal
-    axis for text blobs). All segment reductions are scatters into
-    ``max_components + 1`` buckets — static shapes, no host sync.
+    coordinates) give the PCA principal angle; a coarse-to-fine angle
+    search around it (±45° at 7.5° spacing, then two per-component
+    refinement stages down to ~0.16° — the rect area is scored by
+    projected extents and the tightest wins). Sub-degree resolution
+    matters: the evaluators match at IoU 0.4, exactly where a rect over a
+    curved polygon sits, and a half-degree-offset rect measurably flips
+    borderline matches vs the host's exact rotating-calipers rect. All
+    segment reductions are scatters into ``max_components + 1`` buckets —
+    static shapes, no host sync. ``num_angles`` sets the per-stage
+    candidate count (coarse stage uses ``2·num_angles + 3``).
 
     Returns (corners (K, 4, 2) float32 xy, sides (K, 2) = (w, h),
     scores (K,) mean prob over the component, valid (K,) bool). Corner
@@ -228,11 +233,8 @@ def component_rotated_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
     sxy = seg("add", jnp.where(fg, dx * dy, zero), 0.0)
     theta = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
 
-    # candidate angles around the principal axis; pick the tightest rect
-    offsets = jnp.linspace(-15.0, 15.0, num_angles) * (jnp.pi / 180.0)
-
-    def extent(offset):
-        ang = theta + offset
+    def extent(ang):
+        """Projected extents at per-component angles ``ang`` (K,)."""
         c, s = jnp.cos(ang), jnp.sin(ang)
         u = dx * lookup(c) + dy * lookup(s)
         v = -dx * lookup(s) + dy * lookup(c)
@@ -243,15 +245,33 @@ def component_rotated_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
         vmax = seg("max", jnp.where(fg, v, -big), -big)
         return jnp.stack([umin, umax, vmin, vmax])  # (4, K)
 
-    exts = jax.vmap(extent)(offsets)                 # (A, 4, K)
-    widths = exts[:, 1] - exts[:, 0]                 # (A, K)
-    heights = exts[:, 3] - exts[:, 2]
-    areas = widths * heights
-    best = jnp.argmin(areas, axis=0)                 # (K,)
-    pick = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
-    umin, umax = pick(exts[:, 0]), pick(exts[:, 1])
-    vmin, vmax = pick(exts[:, 2]), pick(exts[:, 3])
-    ang = theta + jnp.take(offsets, best)
+    def stage(theta, half_span_deg, count):
+        """One coarse-to-fine pass: score ``count`` angles within
+        ±half_span around each component's current angle, keep the
+        tightest. Returns (theta', exts at theta')."""
+        offsets = jnp.linspace(-half_span_deg, half_span_deg,
+                               count) * (jnp.pi / 180.0)
+        exts = jax.vmap(lambda off: extent(theta + off))(offsets)  # (A,4,K)
+        areas = (exts[:, 1] - exts[:, 0]) * (exts[:, 3] - exts[:, 2])
+        best = jnp.argmin(areas, axis=0)                           # (K,)
+        pick = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
+        return (theta + jnp.take(offsets, best),
+                jnp.stack([pick(exts[:, j]) for j in range(4)]))
+
+    # coarse ±45° (covers PCA-vs-minAreaRect disagreement on curved
+    # blobs), then three refinements, each bracketing the previous stage's
+    # spacing; final resolution ≈ 0.16° at the default num_angles=5 — at
+    # 0.6° the residual rect rotation shifted corners 1-2 px, enough to
+    # flip DetEval's tr=0.8 area-recall gates on borderline matches
+    na = max(int(num_angles), 3)
+    shrink = (na - 1) // 2 + 1
+    theta1, _ = stage(theta, 45.0, 2 * na + 3)
+    span2 = 45.0 / (na + 1)
+    theta2, _ = stage(theta1, span2, na)
+    span3 = span2 / shrink
+    theta3, _ = stage(theta2, span3, na)
+    ang, exts = stage(theta3, span3 / shrink, na)
+    umin, umax, vmin, vmax = exts[0], exts[1], exts[2], exts[3]
     c, s = jnp.cos(ang), jnp.sin(ang)
 
     # rect center in image coords = uv-center mapped back about the centroid
@@ -260,7 +280,7 @@ def component_rotated_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
                         cy + uc * s + vc * c], axis=1)  # (K, 2)
     corners = _rect_corners(center, c, s,
                             (umax - umin) / 2.0, (vmax - vmin) / 2.0)
-    sides = jnp.stack([pick(widths), pick(heights)], axis=1)
+    sides = jnp.stack([umax - umin, vmax - vmin], axis=1)
     valid = valid_root & (count > 0)
     scores = jnp.where(valid, score_sum / safe_n, 0.0)
     return corners, sides, scores, valid, center, ang
@@ -277,10 +297,11 @@ def _rect_corners(center, c, s, half_w, half_h):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "min_size", "max_components", "num_iters", "num_angles"))
+    "min_size", "max_components", "num_iters", "num_angles", "unclip"))
 def _device_boxes_single(prob_map, thresh, box_thresh, unclip_ratio,
                          min_size: int, max_components: int,
-                         num_iters: int, num_angles: int):
+                         num_iters: int, num_angles: int,
+                         unclip: bool = True):
     bitmap = (prob_map > thresh).astype(jnp.int32)
     labels = connected_components(bitmap, num_iters=num_iters)
     corners, sides, scores, valid, center, ang = component_rotated_boxes(
@@ -288,9 +309,17 @@ def _device_boxes_single(prob_map, thresh, box_thresh, unclip_ratio,
         num_angles=num_angles)
     w0, h0 = sides[:, 0], sides[:, 1]
     keep = valid & (jnp.minimum(w0, h0) >= min_size) & (scores >= box_thresh)
+    if not unclip:
+        # pre-unclip rects: the caller host-finishes with the EXACT
+        # offset-polygon unclip (the ideal +d growth used on device is
+        # ~0.4 px/side larger than the chord-approximated round joins the
+        # host/reference use — enough to flip DetEval's tp=0.4 gates on
+        # curved text; K-record host finishing keeps parity AND the tiny
+        # transfer)
+        return corners, scores, keep
     # on-device unclip (src/postprocess.py:150-156): a round-join offset of
-    # a rectangle by d = A·ratio/L followed by minAreaRect is exactly the
-    # same rectangle grown by d on each side
+    # a rectangle by d = A·ratio/L followed by minAreaRect is the same
+    # rectangle grown by d on each side (up to the chord approximation)
     area = w0 * h0
     length = 2.0 * (w0 + h0)
     d = jnp.where(length > 0, area * unclip_ratio / jnp.maximum(length, 1e-6),
@@ -305,17 +334,19 @@ def _device_boxes_single(prob_map, thresh, box_thresh, unclip_ratio,
 def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
                  unclip_ratio: float = 1.5, min_size: int = 3,
                  max_components: int = 1000, num_iters: int = 64,
-                 num_angles: int = 5):
-    """Fully on-device rotated-box postprocess over a BATCH of prob maps
-    (N, H, W): threshold → connected components → oriented min-rects →
-    unclip → filters, mirroring the reference's rect mode
-    (``src/postprocess.py:106-148``) without shipping maps to the host.
+                 num_angles: int = 5, unclip: bool = True):
+    """On-device rotated-box postprocess over a BATCH of prob maps
+    (N, H, W): threshold → connected components → oriented min-rects
+    (→ unclip → post-unclip size filter when ``unclip``), mirroring the
+    reference's rect mode (``src/postprocess.py:106-148``) without shipping
+    maps to the host. With ``unclip=False`` the rects come back PRE-unclip
+    for exact host-side offset finishing (see ``_device_boxes_single``).
     Returns (corners (N, K, 4, 2) f32 xy, scores (N, K), keep (N, K)) —
     the D2H transfer is N·K box records instead of N·H·W map pixels."""
     fn = functools.partial(
         _device_boxes_single, min_size=min_size,
         max_components=max_components, num_iters=num_iters,
-        num_angles=num_angles)
+        num_angles=num_angles, unclip=unclip)
     return jax.vmap(
         lambda p: fn(p, jnp.float32(thresh), jnp.float32(box_thresh),
                      jnp.float32(unclip_ratio)))(prob_maps)

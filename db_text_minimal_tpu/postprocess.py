@@ -48,7 +48,11 @@ class DeviceBoxRepresenter:
 
     def __call__(self, batch: dict, pred, is_output_polygon: bool = False):
         """``pred``: device array NHWC (or (N, H, W)); channel 0 is consumed.
-        Stays on device until the final K-record transfer."""
+        Stays on device until the K-record transfer; the unclip runs on
+        HOST over those K rects with the exact chord-approximated offset
+        the host path / reference use (``finish_device_rects``) — the
+        device's ideal ``+d`` growth was ~0.4 px/side larger, enough to
+        flip DetEval's tp=0.4 area-precision gates on curved text."""
         assert not is_output_polygon, \
             "polygon mode runs on host (SegDetectorRepresenter)"
         from .ops.pallas.cc import device_boxes
@@ -59,7 +63,7 @@ class DeviceBoxRepresenter:
         corners, scores, keep = device_boxes(
             pred, thresh=self.thresh, box_thresh=self.box_thresh,
             unclip_ratio=self.unclip_ratio, min_size=self.min_size,
-            max_components=self.max_candidates)
+            max_components=self.max_candidates, unclip=False)
         # one D2H of (N, K) records
         corners = np.asarray(corners)
         scores = np.asarray(scores)
@@ -67,18 +71,52 @@ class DeviceBoxRepresenter:
         boxes_batch, scores_batch = [], []
         for i in range(corners.shape[0]):
             dest_h, dest_w = batch["shape"][i]
-            kept = corners[i][keep[i]]
-            out = np.zeros((len(kept), 4, 2), dtype=np.int16)
-            for j, quad in enumerate(kept):
-                quad = np.array(order_rect_points(quad))
-                quad[:, 0] = np.clip(
-                    np.round(quad[:, 0] / width * dest_w), 0, dest_w)
-                quad[:, 1] = np.clip(
-                    np.round(quad[:, 1] / height * dest_h), 0, dest_h)
-                out[j] = quad.astype(np.int16)
-            boxes_batch.append(out)
-            scores_batch.append(scores[i][keep[i]].astype(np.float32))
+            boxes, kept_scores = finish_device_rects(
+                corners[i][keep[i]], scores[i][keep[i]], width, height,
+                dest_w, dest_h, unclip_ratio=self.unclip_ratio,
+                min_size=self.min_size)
+            boxes_batch.append(boxes)
+            scores_batch.append(kept_scores)
         return boxes_batch, scores_batch
+
+
+def finish_device_rects(quads: np.ndarray, scores: np.ndarray,
+                        width: int, height: int, dest_w: int, dest_h: int,
+                        unclip_ratio: float = 1.5, min_size: int = 3):
+    """Host finishing for PRE-unclip device rects (K tiny records): the
+    exact unclip → minAreaRect → size filter → order → rescale sequence of
+    the host rect path (``src/postprocess.py:106-148``), so device-path
+    boxes are bit-comparable to host-path boxes."""
+    out, kept_scores = [], []
+    for quad, score in zip(np.asarray(quads, np.float64),
+                           np.asarray(scores, np.float32)):
+        points = np.array(order_rect_points(quad))
+        expanded = _unclip(points, unclip_ratio)
+        if not expanded:
+            continue
+        corners2, (w2, h2) = geo.min_area_rect(
+            np.asarray(expanded[0], np.float64))
+        if min(w2, h2) < min_size + 2:
+            continue
+        box = np.array(order_rect_points(corners2))
+        box[:, 0] = np.clip(np.round(box[:, 0] / width * dest_w), 0, dest_w)
+        box[:, 1] = np.clip(np.round(box[:, 1] / height * dest_h), 0, dest_h)
+        out.append(box.astype(np.int16))
+        kept_scores.append(score)
+    boxes = (np.stack(out) if out
+             else np.zeros((0, 4, 2), dtype=np.int16))
+    return boxes, np.asarray(kept_scores, np.float32)
+
+
+def _unclip(box, unclip_ratio: float = 1.5):
+    """``src/postprocess.py:150-156``: dilate by d = A·ratio/L."""
+    box = np.asarray(box, dtype=np.float64)
+    area = geo.polygon_area(box)
+    length = geo.polygon_perimeter(box)
+    if length <= 0:
+        return []
+    distance = area * unclip_ratio / length
+    return geo.offset_polygon(box, distance)
 
 
 def order_rect_points(corners: np.ndarray):
@@ -199,13 +237,7 @@ class SegDetectorRepresenter:
 
     def unclip(self, box, unclip_ratio: float = 1.5):
         """``src/postprocess.py:150-156``: dilate by d = A·ratio/L."""
-        box = np.asarray(box, dtype=np.float64)
-        area = geo.polygon_area(box)
-        length = geo.polygon_perimeter(box)
-        if length <= 0:
-            return []
-        distance = area * unclip_ratio / length
-        return geo.offset_polygon(box, distance)
+        return _unclip(box, unclip_ratio)
 
     def box_score_fast(self, bitmap: np.ndarray, box: np.ndarray) -> float:
         """Mean prob inside the contour's filled polygon within its bbox

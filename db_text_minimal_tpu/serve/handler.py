@@ -139,19 +139,25 @@ class DBTextDetectionHandler:
         from two H×W masks to K quad records per image. ``boxes`` are
         (4, 2) corner quads like the reference's client-side rect mode."""
         from ..ops.pallas.cc import device_boxes
-        from ..postprocess import order_rect_points
+        from ..postprocess import finish_device_rects
 
+        prob = data[..., 0]
+        height, width = prob.shape[1], prob.shape[2]
         corners, scores, keep = device_boxes(
-            data[..., 0], thresh=thresh, box_thresh=box_thresh,
-            unclip_ratio=unclip_ratio)
+            prob, thresh=thresh, box_thresh=box_thresh,
+            unclip_ratio=unclip_ratio, unclip=False)
         corners, scores, keep = (np.asarray(corners), np.asarray(scores),
                                  np.asarray(keep))
         res = []
         for i in range(corners.shape[0]):
-            quads = [order_rect_points(q) for q in corners[i][keep[i]]]
+            # host-finish the K kept rects (exact unclip — parity with the
+            # host/reference rect geometry)
+            boxes, kept_scores = finish_device_rects(
+                corners[i][keep[i]], scores[i][keep[i]], width, height,
+                width, height, unclip_ratio=unclip_ratio)
             res.append({
-                "boxes": [np.asarray(q, float).tolist() for q in quads],
-                "scores": scores[i][keep[i]].astype(float).tolist(),
+                "boxes": [np.asarray(q, float).tolist() for q in boxes],
+                "scores": kept_scores.astype(float).tolist(),
             })
         return res
 
