@@ -53,6 +53,11 @@ def load_args(argv=None):
     parser.add_argument("--neck", type=str, default="FPN")
     parser.add_argument("--reduction", type=str, default="mean",
                         choices=("mean", "none"))
+    parser.add_argument("--lrs", type=str, default="reduce",
+                        choices=("reduce", "poly"),
+                        help="poly = warmup + polynomial decay over the "
+                             "full training horizon (the reference's "
+                             "intended schedule, with a real max_iters)")
     parser.add_argument("--pretrained_backbone", type=str, default=None)
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="warm start / eval_only weights")
@@ -109,7 +114,12 @@ def build_cfg(args):
                   "pretrained_backbone_path": args.pretrained_backbone or "",
                   "finetune_cp_path": ""},
         "optimizer": {"lr": args.lr, "reduction": args.reduction},
-        "lrs": {"mode": "reduce", "factor": 0.2, "patience": 4},
+        "lrs": ({"mode": "poly", "warmup_iters": 100,
+                 # decay over the planned training horizon
+                 "max_iters": args.epochs * max(
+                     (args.limit_train or 1600) // args.batch_size, 1)}
+                if args.lrs == "poly"
+                else {"mode": "reduce", "factor": 0.2, "patience": 4}),
     }
     return load_config("/nonexistent-use-defaults", overrides)
 

@@ -88,6 +88,9 @@ def default_config() -> ConfigNode:
         "lrs": {
             "mode": "reduce",          # reduce / poly
             "warmup_iters": 10,
+            # poly decay horizon in steps; 0 reproduces the reference quirk
+            # (instantiated without max_iters -> decays to 0 after warmup)
+            "max_iters": 0,
             "factor": 0.2,
             "patience": 4,
         },

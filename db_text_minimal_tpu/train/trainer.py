@@ -217,8 +217,12 @@ class Trainer:
             self.base_lr = float(cfg.optimizer.lr_finetune)
         self.lrs_mode = cfg.lrs.mode if cfg.lrs else "reduce"
         if self.lrs_mode == "poly":
+            # lrs.max_iters=0 reproduces the reference quirk (decay to 0
+            # right after warmup, src/train.py:128-129); set it to the
+            # planned total steps for a real polynomial decay
             self.poly_schedule = warmup_poly_lr(
-                self.base_lr, warmup_iters=int(cfg.lrs.warmup_iters))
+                self.base_lr, warmup_iters=int(cfg.lrs.warmup_iters),
+                max_iters=int(getattr(cfg.lrs, "max_iters", 0) or 0))
             self.plateau = None
         else:
             self.poly_schedule = None
