@@ -33,9 +33,10 @@ def warmup_poly_lr(base_lr: float, target_lr: float = 0.0,
                 warmup_method))
 
     def schedule(step):
-        import jax.numpy as jnp
-
-        step = jnp.asarray(step, jnp.float32)
+        # numpy on purpose: the trainer evaluates this on HOST every step
+        # and feeds the float into the jitted step — eager jnp here costs
+        # ~10 device dispatches/step, each paying the tunnel RPC on TPU
+        step = np.float32(step)
         if warmup_method == "constant":
             wf = warmup_factor
         else:
@@ -45,9 +46,9 @@ def warmup_poly_lr(base_lr: float, target_lr: float = 0.0,
 
         n = max(max_iters - warmup_iters, 1)
         t = step - warmup_iters
-        factor = jnp.clip(1.0 - t / n, 0.0, 1.0) ** power
+        factor = np.clip(1.0 - t / n, 0.0, 1.0) ** power
         decay_lr = target_lr + (base_lr - target_lr) * factor
-        return jnp.where(step < warmup_iters, warmup_lr, decay_lr)
+        return np.where(step < warmup_iters, warmup_lr, decay_lr)
 
     return schedule
 
