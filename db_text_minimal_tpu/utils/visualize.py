@@ -101,7 +101,9 @@ def visualize_polygon(args, img_fn: str, origin_info, batch, preds,
     box_list, score_list = filter_zero_boxes(box_list[0], score_list[0],
                                              args.is_output_polygon)
 
-    tmp_img = draw_bbox(np.ascontiguousarray(img_origin), np.array(box_list))
+    # box_list may be ragged in polygon mode (per-polygon vertex counts
+    # differ) — draw_bbox iterates, so pass the list as-is
+    tmp_img = draw_bbox(np.ascontiguousarray(img_origin), box_list)
     tmp_pred = cv2.resize(np.asarray(preds)[0, :, :, 0],
                           (w_origin, h_origin))
 
