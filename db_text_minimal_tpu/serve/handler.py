@@ -129,6 +129,26 @@ class DBTextDetectionHandler:
                         "thresh_mask": thresh_mask.tolist()})
         return res
 
+    def postprocess_png(self, data) -> list[dict]:
+        """Compact mask response (no reference counterpart): the JSON-list
+        contract ships two 640² masks as ~4.5 MB of text per image; this
+        mode returns the same masks as base64 PNGs (~50-100 kB), decodable
+        with any image library. Opt-in via ``?mode=masks_png``."""
+        import base64
+
+        from PIL import Image
+
+        res = []
+        for pred in np.asarray(data):
+            entry = {}
+            for key, ch in (("prob_png", 0), ("thresh_png", 1)):
+                mask = (pred[..., ch] * 255).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(mask, mode="L").save(buf, format="PNG")
+                entry[key] = base64.b64encode(buf.getvalue()).decode("ascii")
+            res.append(entry)
+        return res
+
     def postprocess_boxes(self, data, thresh: float = 0.3,
                           box_thresh: float = 0.7,
                           unclip_ratio: float = 1.5) -> list[dict]:
@@ -175,4 +195,6 @@ class DBTextDetectionHandler:
             # stay on device and only K box records come back
             fwd = self._forward_prob or self._forward
             return self.postprocess_boxes(fwd(batch))
+        if mode == "masks_png":
+            return self.postprocess_png(self.inference(batch))
         return self.postprocess(self.inference(batch))

@@ -87,7 +87,12 @@ def make_server(model_path: str, port: int = 8080,
             if path.rstrip("/") != f"/predictions/{model_name}":
                 self.send_error(404, "unknown model")
                 return
-            mode = "boxes" if "mode=boxes" in query else "masks"
+            if "mode=boxes" in query:
+                mode = "boxes"
+            elif "mode=masks_png" in query:
+                mode = "masks_png"
+            else:
+                mode = "masks"
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:

@@ -286,6 +286,46 @@ def test_rest_server_concurrent_microbatching(trained):
         server.shutdown()
 
 
+def test_rest_server_masks_png_mode(trained):
+    """?mode=masks_png returns the same masks as base64 PNGs — a compact
+    alternative to the reference's multi-MB JSON-list contract."""
+    import base64
+    import io as _io
+
+    from PIL import Image
+
+    from db_text_minimal_tpu.serve import make_server
+
+    server = make_server(trained["ckpt"], port=0, model_name="dbtext")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with open(trained["sample_img"], "rb") as f:
+            img_bytes = f.read()
+
+        def post(query=""):
+            req = urllib.request.Request(
+                f"http://localhost:{port}/predictions/dbtext{query}",
+                data=img_bytes, method="POST")
+            with urllib.request.urlopen(req, timeout=180) as r:
+                raw = r.read()
+            return json.loads(raw), len(raw)
+
+        ref, ref_bytes = post()
+        png, png_bytes = post("?mode=masks_png")
+        assert set(png) == {"prob_png", "thresh_png"}
+        assert png_bytes < ref_bytes / 10   # compact response
+        for key, ref_key in (("prob_png", "prob_mask"),
+                             ("thresh_png", "thresh_mask")):
+            mask = np.array(Image.open(_io.BytesIO(
+                base64.b64decode(png[key]))))
+            np.testing.assert_array_equal(
+                mask, np.array(ref[ref_key], dtype=np.uint8))
+    finally:
+        server.shutdown()
+
+
 def test_rest_server_box_mode(trained):
     """?mode=boxes returns on-device fast boxes instead of full masks."""
     from db_text_minimal_tpu.serve import make_server
