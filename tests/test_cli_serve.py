@@ -322,6 +322,16 @@ def test_rest_server_masks_png_mode(trained):
                 base64.b64decode(png[key]))))
             np.testing.assert_array_equal(
                 mask, np.array(ref[ref_key], dtype=np.uint8))
+
+        # the CLI client decodes the compact response too
+        from db_text_minimal_tpu.serve import client as client_cli
+
+        out_dir = os.path.dirname(trained["sample_img"])
+        prob, _ = client_cli.main(client_cli.load_args([
+            "--image_path", trained["sample_img"], "--port", str(port),
+            "--response", "masks_png", "--out_dir", out_dir]))
+        np.testing.assert_array_equal(
+            prob, np.array(ref["prob_mask"], dtype=np.uint8))
     finally:
         server.shutdown()
 
