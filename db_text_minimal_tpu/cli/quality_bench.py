@@ -58,6 +58,16 @@ def load_args(argv=None):
                         help="poly = warmup + polynomial decay over the "
                              "full training horizon (the reference's "
                              "intended schedule, with a real max_iters)")
+    parser.add_argument("--lrs_max_iters", type=int, default=0,
+                        help="override the poly decay horizon in steps — "
+                             "set to the FULL horizon when chunking a long "
+                             "run into resumable segments (the tunneled "
+                             "TPU client retains ~35 MB per step of upload "
+                             "buffers, so 128 GB of host RAM caps one "
+                             "process at ~3500 steps)")
+    parser.add_argument("--no_final_eval", action="store_true",
+                        help="skip the end-of-run eval (intermediate "
+                             "segments of a chunked run)")
     parser.add_argument("--pretrained_backbone", type=str, default=None)
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="warm start / eval_only weights")
@@ -116,7 +126,7 @@ def build_cfg(args):
         "optimizer": {"lr": args.lr, "reduction": args.reduction},
         "lrs": ({"mode": "poly", "warmup_iters": 100,
                  # decay over the planned training horizon
-                 "max_iters": args.epochs * max(
+                 "max_iters": args.lrs_max_iters or args.epochs * max(
                      (args.limit_train or 1600) // args.batch_size, 1)}
                 if args.lrs == "poly"
                 else {"mode": "reduce", "factor": 0.2, "patience": 4}),
@@ -240,11 +250,15 @@ def main(args=None):
             history.append(entry)
     train_wall = time.perf_counter() - t0
 
-    forward = (make_quant_forward(trainer, state, test_loader, args)
-               if args.quant else None)
-    t0 = time.perf_counter()
-    results = full_eval(trainer, state, test_loader, args, forward=forward)
-    eval_wall = time.perf_counter() - t0
+    if args.no_final_eval:
+        results, eval_wall = {"skipped": True}, 0.0
+    else:
+        forward = (make_quant_forward(trainer, state, test_loader, args)
+                   if args.quant else None)
+        t0 = time.perf_counter()
+        results = full_eval(trainer, state, test_loader, args,
+                            forward=forward)
+        eval_wall = time.perf_counter() - t0
 
     if args.save_checkpoint:
         from ..train.checkpoints import save_checkpoint

@@ -370,6 +370,12 @@ class Trainer:
                 self.tb_writer.add_scalar("TRAIN/HPs/images_per_sec", ips,
                                           self.global_step)
         mean_loss = train_loss / max(n_batches, 1)
+        # the tunneled TPU client retains per-step upload buffers until a
+        # collection runs (~35 MB/step — a 40-epoch run OOM-killed a
+        # 128 GB host); a per-epoch sweep keeps RSS flat
+        import gc
+
+        gc.collect()
         return state, mean_loss, running, last
 
     # ------------------------------------------------------------------
