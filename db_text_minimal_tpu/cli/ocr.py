@@ -33,7 +33,7 @@ from ..postprocess import SegDetectorRepresenter
 from ..train.checkpoints import load_params_any
 from ..utils import draw_bbox, read_img, test_preprocess
 from ..utils.visualize import filter_zero_boxes
-from .common import load_model, make_forward
+from .common import build_inference_forward, make_forward
 
 
 def build_converter(opt):
@@ -86,9 +86,11 @@ def recognize_crops(opt, crops, converter, rec_model, rec_vars):
     return results
 
 
-def detect_and_crop(opt, dbnet, det_vars, img_origin, h_origin, w_origin):
+def detect_and_crop(opt, dbnet, det_vars, img_origin, h_origin, w_origin,
+                    forward=None):
     """``src/test_ocr.py:121-177``: detect rects, warp each to 32×100."""
-    forward = make_forward(dbnet)
+    if forward is None:
+        forward = make_forward(dbnet)
     tmp_img = test_preprocess(img_origin, pad=False)
     start = time.time()
     preds = np.asarray(forward(det_vars, jnp.asarray(tmp_img)))
@@ -144,11 +146,14 @@ def main(opt):
             results.append((fp, res))
         return results
 
-    dbnet, det_vars = load_model(opt.det_model_path, backbone=opt.backbone)
+    dbnet, det_vars, det_fwd = build_inference_forward(
+        opt.det_model_path, backbone=opt.backbone,
+        infer_mode=getattr(opt, "infer_mode", "flax"))
     img_path = opt.img_path.replace("file://", "")
     img_origin, h_origin, w_origin = read_img(img_path)
     box_list, img_warps = detect_and_crop(opt, dbnet, det_vars, img_origin,
-                                          h_origin, w_origin)
+                                          h_origin, w_origin,
+                                          forward=det_fwd)
     # (the reference casts to float32 here, src/test_ocr.py:198 — cv2 5.x
     # putText requires uint8, and uint8 draws identically)
     img_out = np.ascontiguousarray(
@@ -185,6 +190,10 @@ def load_args(argv=None):
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--saved_model", required=False, default=None)
+    parser.add_argument("--infer_mode", type=str, default="flax",
+                        choices=("flax", "folded", "int8"),
+                        help="detector forward: BN-folded / int8 PTQ "
+                             "prob-only rewrites of the flagship config")
     parser.add_argument("--det_model_path", type=str,
                         default="./models/best_cp.ckpt")
     parser.add_argument("--backbone", type=str, default="resnet18")

@@ -24,7 +24,7 @@ from ..postprocess import SegDetectorRepresenter
 from ..utils import draw_bbox, str_to_bool, test_preprocess
 from ..utils.visualize import filter_zero_boxes
 from ..ops import geometry as geo
-from .common import load_model, make_forward
+from .common import build_inference_forward
 from .ocr import build_converter, load_rec_model, recognize_crops
 
 
@@ -66,6 +66,10 @@ def load_args(argv=None):
     parser.add_argument("--SequenceModeling", type=str, default="BiLSTM")
     parser.add_argument("--Prediction", type=str, default="Attn")
     parser.add_argument("--num_fiducial", type=int, default=20)
+    parser.add_argument("--infer_mode", type=str, default="flax",
+                        choices=("flax", "folded", "int8"),
+                        help="detector forward: BN-folded / int8 PTQ "
+                             "prob-only rewrites of the flagship config")
     parser.add_argument("--input_channel", type=int, default=1)
     parser.add_argument("--output_channel", type=int, default=512)
     parser.add_argument("--hidden_size", type=int, default=256)
@@ -122,8 +126,9 @@ def main(args):
     """``src/test_webcam.py:198-301``."""
     import cv2
 
-    dbnet, det_vars = load_model(args.det_model_path, backbone=args.backbone)
-    forward = make_forward(dbnet)
+    dbnet, det_vars, forward = build_inference_forward(
+        args.det_model_path, backbone=args.backbone,
+        infer_mode=getattr(args, "infer_mode", "flax"))
     seg_obj = SegDetectorRepresenter(thresh=args.thresh,
                                      box_thresh=args.box_thresh,
                                      unclip_ratio=args.unclip_ratio)
