@@ -206,6 +206,29 @@ def test_device_box_representer_contract():
     assert boxes[0].max() > 160   # actually scaled, not left at 160
 
 
+def test_finish_device_rects_edge_cases():
+    """Host finishing of device rects: empty input, degenerate quads, and
+    the under-min-size drop all behave like the host rect path."""
+    from db_text_minimal_tpu.postprocess import finish_device_rects
+
+    boxes, scores = finish_device_rects(
+        np.zeros((0, 4, 2), np.float32), np.zeros((0,), np.float32),
+        160, 160, 160, 160)
+    assert boxes.shape == (0, 4, 2) and scores.shape == (0,)
+
+    quads = np.array([
+        [[10, 10], [60, 10], [60, 30], [10, 30]],     # healthy rect
+        [[5, 5], [5, 5], [5, 5], [5, 5]],             # degenerate point
+        [[100, 100], [101, 100], [101, 101], [100, 101]],  # below min_size
+    ], np.float32)
+    scores_in = np.array([0.9, 0.8, 0.7], np.float32)
+    boxes, scores = finish_device_rects(quads, scores_in, 160, 160, 160, 160)
+    assert len(boxes) == 1 and scores.tolist() == [np.float32(0.9)]
+    # unclipped output grows the rect (d = A*1.5/L = 50*20*1.5/140 ≈ 10.7)
+    w = boxes[0][:, 0].max() - boxes[0][:, 0].min()
+    assert 60 < w < 80
+
+
 def test_db_step_custom_vjp_matches_analytic():
     from db_text_minimal_tpu.ops.pallas.db_step import db_step
 
