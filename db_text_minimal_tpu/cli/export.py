@@ -39,9 +39,9 @@ def main(argv=None):
                              "with on-device mean subtraction")
     parser.add_argument("--infer_mode", type=str, default="flax",
                         choices=("flax", "folded", "int8"),
-                        help="folded: BN-folded s2d-stem d2s-deconv "
-                             "forward; int8 additionally quantizes the "
-                             "MXU-filling convs (requires the fused head)")
+                        help="folded: BN-folded forward; int8 additionally "
+                             "quantizes the MXU-filling convs (requires "
+                             "the fused head)")
     parser.add_argument("--prob_only", action="store_true",
                         help="export the prob-map-only graph (channel 0 is "
                              "all the detection postprocess reads)")

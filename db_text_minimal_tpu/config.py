@@ -143,10 +143,12 @@ def default_config() -> ConfigNode:
             "prob_threshold": 0.50,
             "unclip_ratio": 1.50,
             "is_output_polygon": True,
-            # rect-mode eval runs the on-device box extractor by default
-            # (new capability; host SegDetectorRepresenter remains the
-            # parity path and the only polygon-mode path)
-            "device_boxes": True,
+            # rect-mode eval path: True = on-device box extractor
+            # (threshold+CC+oriented rects under jit), False = host
+            # SegDetectorRepresenter (the parity path). Opt-in until the
+            # device path is re-proven within 0.5 pt of host on every
+            # committed checkpoint (VERDICT r2 weak #1).
+            "device_boxes": False,
         },
         "parallel": {
             "data_axis": "data",

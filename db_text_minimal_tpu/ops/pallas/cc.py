@@ -352,6 +352,114 @@ def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
                      jnp.float32(unclip_ratio)))(prob_maps)
 
 
+def _hole_stats(bitmap, fg_keyed, flat_prob, h, w, max_components):
+    """Per-FG-component hole statistics: sum/count of prob over enclosed
+    background ("holes" — bg components not touching the image border),
+    keyed by the ENCLOSING fg component's slot.
+
+    The host's ``box_score_fast`` fills the OUTER contour polygon, so its
+    mean includes hole pixels (``src/postprocess.py:186-198``); the device
+    score must include them too or the two paths disagree exactly at the
+    ``box_thresh`` gate on components with interior holes (glyph counters,
+    broken strokes)."""
+    bg = bitmap == 0
+    bg_labels = connected_components(bg.astype(jnp.int32))
+    bg_keyed, _ = _compact_slots(bg_labels.reshape(-1), max_components)
+
+    # border-touching bg components are "outside", not holes
+    row = jnp.arange(h, dtype=jnp.int32)
+    col = jnp.arange(w, dtype=jnp.int32)
+    is_border = ((row[:, None] == 0) | (row[:, None] == h - 1)
+                 | (col[None, :] == 0) | (col[None, :] == w - 1))
+    border_hits = jnp.zeros((max_components + 1,), jnp.int32)
+    border_hits = border_hits.at[bg_keyed].max(
+        is_border.reshape(-1).astype(jnp.int32))
+
+    # enclosing fg slot per bg component = max fg slot among 8-neighbors
+    # (holes border exactly one fg component in non-pathological scenes)
+    fg_slot_map = jnp.where(
+        fg_keyed.reshape(h, w) < max_components,
+        fg_keyed.reshape(h, w), -1)
+    padded = jnp.pad(fg_slot_map, 1, constant_values=-1)
+    neigh_best = jnp.full((h, w), -1, jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh_best = jnp.maximum(
+                neigh_best,
+                jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w)))
+    enclosing = jnp.full((max_components + 1,), -1, jnp.int32)
+    enclosing = enclosing.at[bg_keyed].max(
+        jnp.where(bg.reshape(-1), neigh_best.reshape(-1), -1))
+
+    # route each hole pixel's prob to its enclosing fg slot
+    enc_ok = (enclosing >= 0) & (border_hits == 0)
+    target = jnp.where(enc_ok, enclosing, max_components)
+    per_pixel_target = jnp.take(target, bg_keyed)
+    per_pixel_target = jnp.where(bg.reshape(-1), per_pixel_target,
+                                 max_components)
+    hole_sum = jnp.zeros((max_components + 1,), jnp.float32)
+    hole_sum = hole_sum.at[per_pixel_target].add(flat_prob)[:max_components]
+    hole_cnt = jnp.zeros((max_components + 1,), jnp.float32)
+    hole_cnt = hole_cnt.at[per_pixel_target].add(1.0)[:max_components]
+    return hole_sum, hole_cnt
+
+
+@functools.partial(jax.jit, static_argnames=("max_components",))
+def _device_poly_stats_single(prob_map, thresh, max_components: int):
+    """Device half of the device-assisted POLYGON path: threshold → CC →
+    per-component bbox + hole-filled mean prob + bit-packed bitmap. The
+    host traces exact contours / Douglas-Peucker / unclip on the unpacked
+    bitmap (32× smaller D2H than the f32 map) and looks up each contour's
+    score by bbox match (outer contour bbox == component pixel bbox)."""
+    h, w = prob_map.shape
+    bitmap = (prob_map > thresh).astype(jnp.int32)
+    labels = connected_components(bitmap)
+    flat_prob = prob_map.reshape(-1).astype(jnp.float32)
+    keyed, valid_root = _compact_slots(labels.reshape(-1), max_components)
+
+    ys = (jnp.arange(h * w, dtype=jnp.int32) // w).astype(jnp.float32)
+    xs = (jnp.arange(h * w, dtype=jnp.int32) % w).astype(jnp.float32)
+
+    def seg(op, values, init):
+        out = jnp.full((max_components + 1,), init, values.dtype)
+        return getattr(out.at[keyed], op)(values)[:max_components]
+
+    count = seg("add", jnp.ones_like(flat_prob), 0.0)
+    score_sum = seg("add", flat_prob, 0.0)
+    xmin = seg("min", xs, jnp.float32(w))
+    xmax = seg("max", xs, jnp.float32(-1))
+    ymin = seg("min", ys, jnp.float32(h))
+    ymax = seg("max", ys, jnp.float32(-1))
+
+    hole_sum, hole_cnt = _hole_stats(bitmap, keyed, flat_prob, h, w,
+                                     max_components)
+    denom = count + hole_cnt
+    scores = jnp.where(denom > 0, (score_sum + hole_sum)
+                       / jnp.maximum(denom, 1.0), 0.0)
+    valid = valid_root & (count > 0)
+    bboxes = jnp.stack([xmin, ymin, xmax, ymax], axis=1).astype(jnp.int32)
+
+    # MSB-first bit-pack (np.unpackbits default order on host); accumulate
+    # in int32 — a uint8 sum could wrap under jnp's no-promotion rules
+    bits = bitmap.reshape(h, w // 8, 8).astype(jnp.int32)
+    weights = jnp.int32(1) << jnp.arange(7, -1, -1, dtype=jnp.int32)
+    packed = (bits * weights).sum(axis=-1).astype(jnp.uint8)
+    return packed, bboxes, scores, valid
+
+
+def device_poly_stats(prob_maps, thresh: float = 0.3,
+                      max_components: int = 1000):
+    """Batched device half of the device-assisted polygon mode (VERDICT r2
+    ask #4). Returns (packed_bitmaps (N, H, W/8) uint8, bboxes
+    (N, K, 4) int32 [xmin, ymin, xmax, ymax], scores (N, K) f32 hole-filled
+    component mean prob, valid (N, K) bool)."""
+    fn = functools.partial(_device_poly_stats_single,
+                           max_components=max_components)
+    return jax.vmap(lambda p: fn(p, jnp.float32(thresh)))(prob_maps)
+
+
 def fast_boxes(prob_map, thresh: float = 0.3, box_thresh: float = 0.7,
                min_size: int = 3, max_components: int = 1000,
                num_iters: int = 64):

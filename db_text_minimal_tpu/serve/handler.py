@@ -51,6 +51,9 @@ class DBTextDetectionHandler:
             from ..utils import CAFFE_MEAN
 
             infer = load_exported(self.model_path)
+            # a prob-only export has no thresh channel: masks modes would
+            # die on pred[..., 1] deep in postprocess — reject up front
+            self._prob_only = bool(infer.meta.get("prob_only"))
             if infer.meta.get("uint8_input"):
                 # uint8 upload; mean subtraction is baked into the graph
                 self._forward = infer
@@ -189,6 +192,11 @@ class DBTextDetectionHandler:
             self.initialize()
         if request is None:
             return None
+        if mode != "boxes" and getattr(self, "_prob_only", False):
+            raise ValueError(
+                "this export was built with --prob_only (no thresh map); "
+                "masks/masks_png modes need a 2-channel graph — use "
+                "mode=boxes or re-export without --prob_only")
         batch = self.preprocess(request)
         if mode == "boxes":
             # prob-only forward when available (folded live path); preds

@@ -18,6 +18,7 @@ import argparse
 import json
 import queue
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .handler import DBTextDetectionHandler
@@ -87,11 +88,9 @@ def make_server(model_path: str, port: int = 8080,
             if path.rstrip("/") != f"/predictions/{model_name}":
                 self.send_error(404, "unknown model")
                 return
-            if "mode=boxes" in query:
-                mode = "boxes"
-            elif "mode=masks_png" in query:
-                mode = "masks_png"
-            else:
+            params = urllib.parse.parse_qs(query)
+            mode = params.get("mode", ["masks"])[0]
+            if mode not in ("boxes", "masks_png", "masks"):
                 mode = "masks"
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)

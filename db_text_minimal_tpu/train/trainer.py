@@ -382,11 +382,12 @@ class Trainer:
     def eval_epoch(self, state: TrainState):
         cfg = self.cfg
         is_poly = bool(cfg.metric.is_output_polygon)
-        # rect mode defaults to the on-device box extractor (threshold + CC
-        # + oriented rects under jit; K records D2H instead of full maps);
-        # polygon mode and metric.device_boxes=False take the host path
+        # rect mode with metric.device_boxes=True uses the on-device box
+        # extractor (threshold + CC + oriented rects under jit; K records
+        # D2H instead of full maps); default + polygon mode take the host
+        # parity path
         use_device_boxes = (not is_poly
-                            and cfg.metric.device_boxes is not False)
+                            and bool(cfg.metric.device_boxes))
         rep_cls = DeviceBoxRepresenter if use_device_boxes \
             else SegDetectorRepresenter
         seg_obj = rep_cls(

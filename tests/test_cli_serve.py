@@ -187,9 +187,9 @@ def test_aot_export_symbolic_batch_uint8(trained, tmp_path):
 
 
 def test_aot_export_folded_prob_only(trained, tmp_path):
-    """``--infer_mode folded --prob_only`` export: the BN-folded
-    s2d-stem d2s-deconv graph with a symbolic batch agrees with the live
-    fused-head model's prob map (weight-exact rewrites, bf16 compute)."""
+    """``--infer_mode folded --prob_only`` export: the BN-folded graph
+    with a symbolic batch agrees with the live fused-head model's prob map
+    (weight-exact rewrites, bf16 compute)."""
     import jax.numpy as jnp
 
     from db_text_minimal_tpu.cli.common import load_model
