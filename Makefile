@@ -23,7 +23,7 @@ save_dir := $(cwd)/assets
 .PHONY: lint test train export test-heatmap test-poly test-rect test-all \
 	make-eval ioueval deteval serve serve-stop serve-request bench \
 	synthetic test-pp test-folder test-webcam test-video \
-	hard-bench quality-bench pretrain-backbone
+	hard-bench quality-bench pretrain-backbone tpu-gate
 
 lint:
 	python -m compileall -q db_text_minimal_tpu
@@ -125,3 +125,7 @@ test-video:
 
 bench:
 	python bench.py
+
+# real-chip Pallas kernel gate; appends a pass record to demo/tpu_gate.json
+tpu-gate:
+	python tpu_gate.py

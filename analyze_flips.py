@@ -43,7 +43,7 @@ def per_image_metrics(maps, anns, tags, top_n=15):
         chunk = maps[start:start + bs]
         n = chunk.shape[0]
         batch_shape = {"shape": [(SIZE, SIZE)] * n}
-        h_boxes, h_scores = host(batch_shape, chunk)
+        h_boxes, h_scores = host(batch_shape, chunk[..., None])
         d_boxes, d_scores = dev(batch_shape, jax.numpy.asarray(chunk))
         batch = {"anns": anns[start:start + n],
                  "ignore_tags": tags[start:start + n],

@@ -13,7 +13,8 @@ from __future__ import annotations
 import argparse
 import json
 
-from ..train.backbone_pretrain import pretrain_backbone
+from ..train.backbone_pretrain import (pretrain_backbone,
+                                       pretrain_backbone_dense)
 
 
 def main(argv=None):
@@ -22,16 +23,30 @@ def main(argv=None):
     parser.add_argument("--gt_dir", type=str, required=True)
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--backbone", type=str, default="resnet18")
-    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--pretext", type=str, default="dense",
+                        choices=("dense", "classify"),
+                        help="dense = per-cell text-layout prediction "
+                             "(stride 8, the warm start that transfers); "
+                             "classify = the round-2 binary patch task "
+                             "(kept for comparison)")
+    parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=64)
-    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--limit_images", type=int, default=256)
+    parser.add_argument("--limit_images", type=int, default=None)
     args = parser.parse_args(argv)
-    result = pretrain_backbone(
-        args.train_dir, args.gt_dir, args.out, backbone=args.backbone,
-        steps=args.steps, batch_size=args.batch_size, lr=args.lr,
-        seed=args.seed, limit_images=args.limit_images)
+    if args.pretext == "dense":
+        result = pretrain_backbone_dense(
+            args.train_dir, args.gt_dir, args.out, backbone=args.backbone,
+            steps=args.steps or 1000, batch_size=args.batch_size,
+            lr=args.lr or 2e-3, seed=args.seed,
+            limit_images=args.limit_images or 512)
+    else:
+        result = pretrain_backbone(
+            args.train_dir, args.gt_dir, args.out, backbone=args.backbone,
+            steps=args.steps or 300, batch_size=args.batch_size,
+            lr=args.lr or 1e-3, seed=args.seed,
+            limit_images=args.limit_images or 256)
     print(json.dumps(result))
 
 

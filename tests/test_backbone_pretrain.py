@@ -90,3 +90,35 @@ def test_pretrain_backbone_end_to_end(tmp_path):
     assert not np.allclose(
         np.asarray(params["backbone"]["conv1"]["kernel"]),
         np.asarray(v["params"]["backbone"]["conv1"]["kernel"]))
+
+
+def test_pretrain_dense_end_to_end(tmp_path):
+    """Dense-pretext pretraining (text-layout prediction at stride 8,
+    VERDICT r2 ask #8) writes a torchvision-format .pth the detector's
+    warm-start path loads."""
+    import numpy as np
+
+    from db_text_minimal_tpu.data.synthetic import generate
+    from db_text_minimal_tpu.train.backbone_pretrain import (
+        pretrain_backbone_dense)
+    from db_text_minimal_tpu.models import DBTextModel
+    from db_text_minimal_tpu.utils.torch_port import load_pretrained_backbone
+    import jax
+    import jax.numpy as jnp
+
+    section = generate(str(tmp_path), n_train=3, n_test=1, size=256, seed=1)
+    out = str(tmp_path / "bb.pth")
+    result = pretrain_backbone_dense(section["train_dir"],
+                                     section["train_gt_dir"], out,
+                                     steps=2, batch_size=4, limit_images=3,
+                                     log=lambda *a: None)
+    assert result["path"] == out
+    model = DBTextModel()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    params, stats = load_pretrained_backbone(out, v["params"],
+                                             v.get("batch_stats", {}))
+    # loaded backbone weights differ from init (weights actually imported)
+    flat_new = jax.tree_util.tree_leaves(params["backbone"])
+    flat_old = jax.tree_util.tree_leaves(v["params"]["backbone"])
+    assert any(not np.allclose(a, b) for a, b in zip(flat_new, flat_old))

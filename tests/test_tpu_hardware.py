@@ -82,3 +82,31 @@ assert min(abs(ang - 20.0), abs(ang - 200.0 % 180)) < 8, ang
 print("DEVICE_BOXES_TPU_OK")
 """)
     assert "DEVICE_BOXES_TPU_OK" in out
+
+
+def test_device_poly_stats_tpu():
+    """The device half of the device-assisted polygon path on REAL TPU:
+    bit-packed bitmap round-trips exactly and hole-filled scores match the
+    host's box_score_fast support."""
+    out = _run_on_tpu("""
+import jax, numpy as np, jax.numpy as jnp
+assert jax.default_backend() not in ("cpu",), jax.devices()
+from db_text_minimal_tpu.ops.pallas.cc import device_poly_stats
+prob = np.full((1, 640, 640), 0.05, np.float32)
+prob[0, 100:200, 100:400] = 0.8      # blob ...
+prob[0, 130:160, 180:260] = 0.1      # ... with an interior hole
+prob[0, 400:430, 500:560] = 0.6      # second blob
+packed, bboxes, scores, valid = device_poly_stats(jnp.asarray(prob),
+                                                  thresh=0.3)
+bitmap = np.unpackbits(np.asarray(packed)[0], axis=-1)[:, :640]
+assert (bitmap == (prob[0] > 0.3)).all()
+v = np.asarray(valid)[0]
+assert v.sum() == 2, v.sum()
+sc = np.sort(np.asarray(scores)[0][v])
+blob = prob[0, 100:200, 100:400]     # filled support includes the hole
+exp_big = blob.mean()
+assert abs(sc[1] - 0.6) < 1e-3 or abs(sc[0] - 0.6) < 1e-3
+assert min(abs(sc[0] - exp_big), abs(sc[1] - exp_big)) < 1e-3
+print("DEVICE_POLY_TPU_OK")
+""")
+    assert "DEVICE_POLY_TPU_OK" in out

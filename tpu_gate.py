@@ -1,0 +1,47 @@
+"""TPU hardware gate (VERDICT r2 ask #6): run the real-chip Pallas kernel
+tests and record a committed pass artifact per hardware session.
+
+    make tpu-gate      # or: python tpu_gate.py
+
+Appends one record to demo/tpu_gate.json so the repo carries evidence that
+kernel changes were exercised on hardware (the CPU suite takes the jnp
+fallback branches of db_step/cc — see tests/test_tpu_hardware.py).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def main():
+    env = dict(os.environ, RUN_TPU_TESTS="1")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_tpu_hardware.py",
+         "-q", "--no-header"],
+        env=env, capture_output=True, text=True, timeout=3600)
+    tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
+    record = {
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "git": subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True,
+                              text=True).stdout.strip(),
+        "passed": proc.returncode == 0,
+        "wall_s": round(time.time() - t0, 1),
+        "summary": tail,
+    }
+    path = "demo/tpu_gate.json"
+    records = []
+    if os.path.exists(path):
+        with open(path) as f:
+            records = json.load(f)
+    records.append(record)
+    with open(path, "w") as f:
+        json.dump(records, f, indent=1)
+    print(json.dumps(record, indent=1))
+    sys.exit(proc.returncode)
+
+
+if __name__ == "__main__":
+    main()
