@@ -1,0 +1,230 @@
+"""Recognition quality benchmark (VERDICT r2 ask #10): committed metrics
+for the in-tree recognizer, replacing demo-only evidence.
+
+Two modes, one JSON each:
+
+- ``--mode rec``: word accuracy on HELD-OUT GT crops of a glyph dataset
+  (train the recognizer with ``cli/train_rec`` on crops exported from the
+  train split first). Reference interface being proxied:
+  ``src/test_ocr.py:59-108`` (greedy decode + cumprod confidence).
+- ``--mode e2e``: full detect → warp → recognize pipeline
+  (``src/test_ocr.py:111-210``) over the test split; detections matched to
+  GT polygons at IoU ≥ 0.5; end-to-end P/R/F where a hit needs BOTH the
+  match and an exact (charset-filtered, case-folded) transcription.
+
+Usage::
+
+    python -m db_text_minimal_tpu.cli.rec_bench --mode rec \
+        --data_dir /tmp/glyph_bench --saved_model /tmp/hb_models/rec.ckpt \
+        --out demo/ocr/rec_accuracy.json
+    python -m db_text_minimal_tpu.cli.rec_bench --mode e2e \
+        --data_dir /tmp/glyph_bench --saved_model /tmp/hb_models/rec.ckpt \
+        --det_model_path /tmp/hb_models/glyph_det.ckpt \
+        --out demo/ocr/ocr_e2e.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.recognition import predict, rec_preprocess
+from ..ops import geometry as geo
+from ..postprocess import SegDetectorRepresenter
+from ..metrics.iou import polygon_iou
+from .ocr import build_converter, load_rec_model
+
+
+def load_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", type=str, required=True,
+                        choices=("rec", "e2e"))
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="TotalText-format glyph dataset root")
+    parser.add_argument("--out", type=str, required=True)
+    parser.add_argument("--saved_model", type=str, required=True,
+                        help="recognition checkpoint")
+    parser.add_argument("--det_model_path", type=str, default=None,
+                        help="detector checkpoint (e2e mode)")
+    parser.add_argument("--backbone", type=str, default="resnet18")
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--thresh", type=float, default=0.25)
+    parser.add_argument("--box_thresh", type=float, default=0.50)
+    parser.add_argument("--unclip_ratio", type=float, default=1.5)
+    parser.add_argument("--iou_match", type=float, default=0.5)
+    parser.add_argument("--character", type=str,
+                        default="0123456789abcdefghijklmnopqrstuvwxyz")
+    parser.add_argument("--batch_max_length", type=int, default=25)
+    parser.add_argument("--imgH", type=int, default=32)
+    parser.add_argument("--imgW", type=int, default=100)
+    parser.add_argument("--PAD", action="store_true")
+    parser.add_argument("--Transformation", type=str, default="None")
+    parser.add_argument("--FeatureExtraction", type=str, default="VGG")
+    parser.add_argument("--SequenceModeling", type=str, default="BiLSTM")
+    parser.add_argument("--Prediction", type=str, default="CTC")
+    parser.add_argument("--num_fiducial", type=int, default=20)
+    parser.add_argument("--input_channel", type=int, default=1)
+    parser.add_argument("--output_channel", type=int, default=512)
+    parser.add_argument("--hidden_size", type=int, default=256)
+    return parser.parse_args(argv)
+
+
+def _norm_text(text: str, charset: str) -> str:
+    return "".join(c for c in text.lower() if c in charset)
+
+
+def _test_words(args):
+    """(image RGB, [(poly, text), ...]) per test image, ignores dropped."""
+    import cv2
+
+    from ..data.parsers import load_totaltext
+
+    fps, anns = load_totaltext(os.path.join(args.data_dir, "test_images"),
+                               os.path.join(args.data_dir, "test_gts"))
+    if args.limit:
+        fps, anns = fps[:args.limit], anns[:args.limit]
+    for fp, ann in zip(fps, anns):
+        img = cv2.imread(fp)[:, :, ::-1]
+        words = [(np.asarray(it["poly"], np.float64), it["text"])
+                 for it in ann if it["text"] != "###"]
+        yield np.ascontiguousarray(img), words
+
+
+def _warp_crop(img, poly, img_w=100, img_h=32):
+    dst = np.array([[0, 0], [img_w, 0], [img_w, img_h], [0, img_h]],
+                   np.float64)
+    if len(poly) != 4:
+        # rectify via the min-area rect of the polygon
+        poly, _ = geo.min_area_rect(np.asarray(poly, np.float64))
+        poly = np.asarray(poly, np.float64)
+    matrix = geo.get_perspective_transform(poly, dst)
+    return geo.warp_perspective(img, matrix, (img_w, img_h))
+
+
+def run_rec(args):
+    """Word accuracy on held-out GT crops (test split)."""
+    converter = build_converter(args)
+    model, variables = load_rec_model(args, len(converter.character))
+    forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    correct = total = 0
+    conf_sum = 0.0
+    per_image = []
+    for img, words in _test_words(args):
+        for poly, text in words:
+            gt = _norm_text(text, args.character)
+            if not gt:
+                continue
+            try:
+                crop = _warp_crop(img, poly, args.imgW, args.imgH)
+            except ValueError:
+                continue
+            tensors = rec_preprocess(crop, img_h=args.imgH, img_w=args.imgW,
+                                     pad=args.PAD)
+            res = predict(tensors, converter, model, variables,
+                          prediction=args.Prediction,
+                          batch_max_length=args.batch_max_length,
+                          forward=forward)
+            ok = res["pred"] == gt
+            correct += int(ok)
+            total += 1
+            conf_sum += res["score"]
+            if not ok and len(per_image) < 20:
+                per_image.append({"gt": gt, "pred": res["pred"]})
+    return {
+        "mode": "rec",
+        "word_accuracy": round(correct / max(total, 1), 4),
+        "correct": correct,
+        "total": total,
+        "mean_confidence": round(conf_sum / max(total, 1), 4),
+        "sample_errors": per_image,
+    }
+
+
+def run_e2e(args):
+    """Detect → warp → recognize over the test split; IoU-matched e2e
+    P/R/F (``src/test_ocr.py:111-210`` pipeline)."""
+    from .common import load_model
+    from ..utils import test_preprocess
+
+    assert args.det_model_path, "--mode e2e requires --det_model_path"
+    converter = build_converter(args)
+    rec_model, rec_vars = load_rec_model(args, len(converter.character))
+    rec_fwd = jax.jit(lambda v, x: rec_model.apply(v, x, train=False))
+    dbnet, det_vars = load_model(args.det_model_path,
+                                 backbone=args.backbone)
+    det_fwd = jax.jit(lambda v, x: dbnet.apply(v, x, train=False))
+    rep = SegDetectorRepresenter(thresh=args.thresh,
+                                 box_thresh=args.box_thresh,
+                                 unclip_ratio=args.unclip_ratio)
+    n_det = n_gt = det_match = e2e_match = 0
+    n_images = 0
+    for img, words in _test_words(args):
+        n_images += 1
+        h, w = img.shape[:2]
+        tmp = test_preprocess(img, pad=False)
+        preds = det_fwd(det_vars, jnp.asarray(tmp))
+        box_list, score_list = rep({"shape": [(h, w)]}, np.asarray(preds),
+                                   is_output_polygon=False)
+        boxes = [b for b in box_list[0] if np.abs(np.asarray(b)).sum() > 0]
+        gts = [(poly, _norm_text(text, args.character))
+               for poly, text in words]
+        n_gt += len(gts)
+        n_det += len(boxes)
+        used = set()
+        for box in boxes:
+            best_j, best_iou = -1, 0.0
+            for j, (poly, _) in enumerate(gts):
+                if j in used:
+                    continue
+                iou = polygon_iou(np.asarray(box, np.float64), poly)
+                if iou > best_iou:
+                    best_j, best_iou = j, iou
+            if best_iou < args.iou_match:
+                continue
+            used.add(best_j)
+            det_match += 1
+            try:
+                crop = _warp_crop(img, np.asarray(box, np.float64),
+                                  args.imgW, args.imgH)
+            except ValueError:
+                continue
+            tensors = rec_preprocess(crop, img_h=args.imgH,
+                                     img_w=args.imgW, pad=args.PAD)
+            res = predict(tensors, converter, rec_model, rec_vars,
+                          prediction=args.Prediction,
+                          batch_max_length=args.batch_max_length,
+                          forward=rec_fwd)
+            if res["pred"] == gts[best_j][1]:
+                e2e_match += 1
+    det_p = det_match / max(n_det, 1)
+    det_r = det_match / max(n_gt, 1)
+    e2e_p = e2e_match / max(n_det, 1)
+    e2e_r = e2e_match / max(n_gt, 1)
+    return {
+        "mode": "e2e",
+        "n_images": n_images, "n_gt_words": n_gt, "n_detections": n_det,
+        "det_precision": round(det_p, 4), "det_recall": round(det_r, 4),
+        "det_hmean": round(2 * det_p * det_r / max(det_p + det_r, 1e-9), 4),
+        "e2e_precision": round(e2e_p, 4), "e2e_recall": round(e2e_r, 4),
+        "e2e_hmean": round(2 * e2e_p * e2e_r / max(e2e_p + e2e_r, 1e-9), 4),
+    }
+
+
+def main(args=None):
+    args = args or load_args()
+    report = run_rec(args) if args.mode == "rec" else run_e2e(args)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    return report
+
+
+if __name__ == "__main__":
+    main()
