@@ -101,6 +101,11 @@ def load_args(argv=None):
                              "(polygons_from_bitmap, "
                              "src/postprocess.py:54-104) — the reference's "
                              "CTW1500 line-level protocol (README.md:91)")
+    parser.add_argument("--dump_eval_dir", type=str, default=None,
+                        help="debug: save per-batch preds (f32) + each "
+                             "representer's box outputs during full_eval "
+                             "so a live divergence can be replayed "
+                             "offline bit-exactly")
     return parser.parse_args(argv)
 
 
@@ -211,7 +216,12 @@ def full_eval(trainer, state, test_loader, args, forward=None):
     wall = {r: 0.0 for r in reps}
     n_images = 0
     warmed = False
+    dump_dir = getattr(args, "dump_eval_dir", None)
+    if dump_dir:
+        os.makedirs(dump_dir, exist_ok=True)
+    batch_idx = -1
     for batch in test_loader:
+        batch_idx += 1
         if not warmed:
             # untimed warm-up: first-call jit compiles through the tunnel
             # (tens of seconds) would otherwise be charged to whichever
@@ -228,6 +238,7 @@ def full_eval(trainer, state, test_loader, args, forward=None):
         preds = forward(device_batch)
         n_images += preds.shape[0]
         batch_shape = {"shape": [(size, size)] * preds.shape[0]}
+        dump_rec = {}
         for rname, (rep, is_poly) in reps.items():
             t0 = time.perf_counter()
             pred_in = preds if rname.startswith("device") \
@@ -235,10 +246,22 @@ def full_eval(trainer, state, test_loader, args, forward=None):
             box_list, score_list = rep(batch_shape, pred_in,
                                        is_output_polygon=is_poly)
             wall[rname] += time.perf_counter() - t0
+            if dump_dir:
+                dump_rec[rname] = (box_list, score_list)
             for ename, ev in evaluators.items():
                 qm = QuadMetric(evaluator=ev)
                 raw[(rname, ename)].append(
                     qm.validate_measure(batch, (box_list, score_list)))
+        if dump_dir:
+            import pickle
+
+            np.savez_compressed(
+                os.path.join(dump_dir, f"batch_{batch_idx:03d}.npz"),
+                preds=np.asarray(preds, np.float32))
+            with open(os.path.join(dump_dir,
+                                   f"batch_{batch_idx:03d}.boxes.pkl"),
+                      "wb") as f:
+                pickle.dump(dump_rec, f)
     out = {}
     for (rname, ename), metrics in raw.items():
         qm = QuadMetric(evaluator=evaluators[ename])
