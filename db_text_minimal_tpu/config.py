@@ -145,10 +145,12 @@ def default_config() -> ConfigNode:
             "is_output_polygon": True,
             # rect-mode eval path: True = on-device box extractor
             # (threshold+CC+oriented rects under jit), False = host
-            # SegDetectorRepresenter (the parity path). Opt-in until the
-            # device path is re-proven within 0.5 pt of host on every
-            # committed checkpoint (VERDICT r2 weak #1).
-            "device_boxes": False,
+            # SegDetectorRepresenter (the parity path). Default ON:
+            # with hole-filled component scoring the device path matches
+            # host within 0.1 pt on every committed checkpoint
+            # (scratch10 / 30ep / 40ep, both protocols —
+            # demo/hard_bench/device_parity_r3.json).
+            "device_boxes": True,
         },
         "parallel": {
             "data_axis": "data",

@@ -173,10 +173,12 @@ def component_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_components", "num_angles"))
+                   static_argnames=("max_components", "num_angles",
+                                    "hole_filled_score"))
 def component_rotated_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
                             max_components: int = 100,
-                            num_angles: int = 5):
+                            num_angles: int = 5,
+                            hole_filled_score: bool = False):
     """Per-component ORIENTED rectangles — the on-device analogue of the
     reference's ``cv2.minAreaRect`` over each contour
     (``src/postprocess.py:158-184``).
@@ -282,7 +284,23 @@ def component_rotated_boxes(prob_map: jnp.ndarray, labels: jnp.ndarray,
                             (umax - umin) / 2.0, (vmax - vmin) / 2.0)
     sides = jnp.stack([umax - umin, vmax - vmin], axis=1)
     valid = valid_root & (count > 0)
-    scores = jnp.where(valid, score_sum / safe_n, 0.0)
+    if hole_filled_score:
+        # score support = component + enclosed holes, matching the host's
+        # filled-outer-contour mean (src/postprocess.py:186-198). The
+        # component-only mean reads HIGH on soft/holey maps (early-epoch
+        # models): it averages only supra-threshold pixels, so near-gate
+        # fragments that the host rejects at box_thresh survive — measured
+        # ~-4 DetEval on 10-epoch checkpoints while converged models
+        # (clean solid components) show no difference.
+        bitmap = (labels >= 0).astype(jnp.int32)
+        hole_sum, hole_cnt = _hole_stats(bitmap, keyed, flat_prob, h, w,
+                                         max_components)
+        denom = count + hole_cnt
+        scores = jnp.where(valid & (denom > 0),
+                           (score_sum + hole_sum)
+                           / jnp.maximum(denom, 1.0), 0.0)
+    else:
+        scores = jnp.where(valid, score_sum / safe_n, 0.0)
     return corners, sides, scores, valid, center, ang
 
 
@@ -297,16 +315,18 @@ def _rect_corners(center, c, s, half_w, half_h):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "min_size", "max_components", "num_iters", "num_angles", "unclip"))
+    "min_size", "max_components", "num_iters", "num_angles", "unclip",
+    "hole_filled_score"))
 def _device_boxes_single(prob_map, thresh, box_thresh, unclip_ratio,
                          min_size: int, max_components: int,
                          num_iters: int, num_angles: int,
-                         unclip: bool = True):
+                         unclip: bool = True,
+                         hole_filled_score: bool = True):
     bitmap = (prob_map > thresh).astype(jnp.int32)
     labels = connected_components(bitmap, num_iters=num_iters)
     corners, sides, scores, valid, center, ang = component_rotated_boxes(
         prob_map, labels, max_components=max_components,
-        num_angles=num_angles)
+        num_angles=num_angles, hole_filled_score=hole_filled_score)
     w0, h0 = sides[:, 0], sides[:, 1]
     keep = valid & (jnp.minimum(w0, h0) >= min_size) & (scores >= box_thresh)
     if not unclip:
@@ -334,7 +354,8 @@ def _device_boxes_single(prob_map, thresh, box_thresh, unclip_ratio,
 def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
                  unclip_ratio: float = 1.5, min_size: int = 3,
                  max_components: int = 1000, num_iters: int = 64,
-                 num_angles: int = 5, unclip: bool = True):
+                 num_angles: int = 5, unclip: bool = True,
+                 hole_filled_score: bool = True):
     """On-device rotated-box postprocess over a BATCH of prob maps
     (N, H, W): threshold → connected components → oriented min-rects
     (→ unclip → post-unclip size filter when ``unclip``), mirroring the
@@ -346,7 +367,8 @@ def device_boxes(prob_maps, thresh: float = 0.3, box_thresh: float = 0.7,
     fn = functools.partial(
         _device_boxes_single, min_size=min_size,
         max_components=max_components, num_iters=num_iters,
-        num_angles=num_angles, unclip=unclip)
+        num_angles=num_angles, unclip=unclip,
+        hole_filled_score=hole_filled_score)
     return jax.vmap(
         lambda p: fn(p, jnp.float32(thresh), jnp.float32(box_thresh),
                      jnp.float32(unclip_ratio)))(prob_maps)

@@ -34,17 +34,22 @@ class DeviceBoxRepresenter:
     """
 
     def __init__(self, thresh=0.3, box_thresh=0.7, max_candidates=1000,
-                 unclip_ratio=1.5, min_size=3):
+                 unclip_ratio=1.5, min_size=3, hole_filled_score=True):
         # max_candidates matches the host representer / reference
         # (``src/postprocess.py:11``). Component slots are assigned in
         # raster order of each component's root pixel, so a lower cap
         # silently drops real text below any noise speckles that come
         # first — measured -2 kept boxes of 8 on a 150-speckle map.
+        # hole_filled_score=True scores each component over its filled
+        # support (component + enclosed holes) to match the host's
+        # filled-outer-contour mean; False is the pre-r3 component-only
+        # mean (kept for ablation).
         self.thresh = thresh
         self.box_thresh = box_thresh
         self.max_candidates = max_candidates
         self.unclip_ratio = unclip_ratio
         self.min_size = min_size
+        self.hole_filled_score = hole_filled_score
 
     def __call__(self, batch: dict, pred, is_output_polygon: bool = False):
         """``pred``: device array NHWC (or (N, H, W)); channel 0 is consumed.
@@ -63,7 +68,8 @@ class DeviceBoxRepresenter:
         corners, scores, keep = device_boxes(
             pred, thresh=self.thresh, box_thresh=self.box_thresh,
             unclip_ratio=self.unclip_ratio, min_size=self.min_size,
-            max_components=self.max_candidates, unclip=False)
+            max_components=self.max_candidates, unclip=False,
+            hole_filled_score=self.hole_filled_score)
         # one D2H of (N, K) records
         corners = np.asarray(corners)
         scores = np.asarray(scores)

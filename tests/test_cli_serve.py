@@ -102,6 +102,46 @@ def test_make_eval_and_offline_evals(trained, tmp_path):
         assert all(0.0 <= v <= 1.0 for v in m.values())
 
 
+def test_make_eval_rect_default_uses_device_boxes(trained, tmp_path):
+    """Rect-mode make_eval with NO --device_boxes flag routes through the
+    on-device extractor (the default since the hole-filled-score parity fix,
+    demo/hard_bench/device_parity_r3.json) and yields quads close to the
+    host path."""
+    from db_text_minimal_tpu.cli import make_eval
+    from db_text_minimal_tpu.ops import geometry as geo
+
+    common = [
+        "--image_dir", trained["section"]["test_dir"],
+        "--model_path", trained["ckpt"],
+        "--thresh", "0.3", "--box_thresh", "0.1",
+        "--img_fns_fp", str(tmp_path / "fns.pkl"),
+        "--is_output_polygon", "false",
+    ]
+    args = make_eval.load_args(common + ["--preds_fp",
+                                         str(tmp_path / "dev.pkl")])
+    assert args.device_boxes is True
+    make_eval.main(args)
+    make_eval.main(make_eval.load_args(
+        common + ["--device_boxes", "false",
+                  "--preds_fp", str(tmp_path / "host.pkl")]))
+    with open(tmp_path / "dev.pkl", "rb") as f:
+        dev_preds = pickle.load(f)
+    with open(tmp_path / "host.pkl", "rb") as f:
+        host_preds = pickle.load(f)
+    assert len(dev_preds) == len(host_preds) == 2
+    matched = total = 0
+    for d_img, h_img in zip(dev_preds, host_preds):
+        for h_rec in h_img:
+            total += 1
+            best = max(
+                (geo.intersection_area(h_rec["points"], d_rec["points"])
+                 for d_rec in d_img), default=0.0)
+            if best > 0.5 * abs(geo.polygon_area(h_rec["points"])):
+                matched += 1
+    assert total >= 1
+    assert matched / total >= 0.8
+
+
 def test_rest_server_roundtrip(trained):
     from db_text_minimal_tpu.serve import make_server
 
