@@ -236,13 +236,18 @@ def full_eval(trainer, state, test_loader, args, forward=None):
             warmed = True
         device_batch = shard_batch(array_batch(batch), trainer.mesh)
         preds = forward(device_batch)
+        # materialize the host copy ONCE, untimed: the D2H transfer
+        # (~50 s/400 images through the tunnel) otherwise lands entirely
+        # on whichever host representer runs first, making per-path wall
+        # comparisons meaningless (the CTW artifact showed host rect 85 s
+        # vs host poly 1.9 s for near-identical geometry work)
+        preds_np = np.asarray(preds)
         n_images += preds.shape[0]
         batch_shape = {"shape": [(size, size)] * preds.shape[0]}
         dump_rec = {}
         for rname, (rep, is_poly) in reps.items():
             t0 = time.perf_counter()
-            pred_in = preds if rname.startswith("device") \
-                else np.asarray(preds)
+            pred_in = preds if rname.startswith("device") else preds_np
             box_list, score_list = rep(batch_shape, pred_in,
                                        is_output_polygon=is_poly)
             wall[rname] += time.perf_counter() - t0
