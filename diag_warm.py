@@ -93,6 +93,17 @@ for npz_path in npzs:
                                   float(np.abs(sc_t - sc_c).max())))
             print(f"img {idx}: device SCORE maxdiff "
                   f"{np.abs(sc_t - sc_c).max():.4f}")
+    # component-count / slot-saturation stats (slot-cap eviction on
+    # speckle-heavy soft maps is a candidate mechanism: round 2's bug at
+    # cap 100 recurring at 1000)
+    from db_text_minimal_tpu.ops.pallas.cc import connected_components
+    for i in range(preds.shape[0]):
+        bm = (preds[i, ..., 0] > args.thresh).astype(np.int32)
+        lab = np.asarray(connected_components(bm))
+        n_comp = len(np.unique(lab[lab >= 0]))
+        if n_comp > 500:
+            print(f"img {n_done - preds.shape[0] + i}: "
+                  f"{n_comp} components (cap 1000!)")
     # metrics for all three sources
     for src, out in (("host", cpu_host), ("tpu_dev", tpu_dev),
                      ("cpu_dev", cpu_dev)):
