@@ -102,6 +102,11 @@ def default_config() -> ConfigNode:
             "icdar2015": _dataset_section(ignore_tags=["###"]),
             "msra_td500": _dataset_section(ignore_tags=[]),
             "synthetic": _dataset_section(ignore_tags=["###"]),
+            # beyond-reference formats (its unchecked TODOs,
+            # reference README.md:100-102)
+            "cocotext": _dataset_section(ignore_tags=["###"]),
+            "synthtext": _dataset_section(ignore_tags=["###"]),
+            "art2019": _dataset_section(ignore_tags=["###"]),
         },
         "dataset": {
             "name": "totaltext",

@@ -154,12 +154,30 @@ class MSRATD500Dataset(BaseDataset):
     parser = staticmethod(PARSERS["msra_td500"])
 
 
+class COCOTextDataset(BaseDataset):
+    """COCO-Text v2 (reference TODO, ``README.md:100``)."""
+    parser = staticmethod(PARSERS["cocotext"])
+
+
+class SynthTextDataset(BaseDataset):
+    """SynthText (reference TODO, ``README.md:101``)."""
+    parser = staticmethod(PARSERS["synthtext"])
+
+
+class ArT2019Dataset(BaseDataset):
+    """ArT 2019 (reference TODO, ``README.md:102``)."""
+    parser = staticmethod(PARSERS["art2019"])
+
+
 DATASETS = {
     "totaltext": TotalTextDataset,
     "ctw1500": CTW1500Dataset,
     "icdar2015": ICDAR2015Dataset,
     "msra_td500": MSRATD500Dataset,
     "synthetic": TotalTextDataset,  # synthetic data is written in TT format
+    "cocotext": COCOTextDataset,
+    "synthtext": SynthTextDataset,
+    "art2019": ArT2019Dataset,
 }
 
 

@@ -1,7 +1,11 @@
-"""Ground-truth annotation parsers for the four supported datasets.
+"""Ground-truth annotation parsers for the supported datasets.
 
-Format-exact rebuilds of the reference's dataset iterators
-(``src/data_loaders.py``):
+Format-exact rebuilds of the reference's four dataset iterators
+(``src/data_loaders.py``), plus the three dataset formats the reference
+left as unchecked TODOs (``README.md:100-102``): COCO-Text v2, SynthText,
+and ArT 2019.
+
+Reference formats:
 - TotalText (:175-211): ``gt_img{id}.txt``, CSV of x,y floats + trailing
   label; polygons with < 3 points dropped.
 - CTW1500 (:214-253): ``{id}.txt``, 32 ints per line: x,y,w,h then 28 offsets
@@ -135,9 +139,140 @@ def load_msra_td500(img_dir: str, gt_dir: str | None = None):
     return img_fps, anns
 
 
+def load_cocotext(img_dir: str, gt_dir: str):
+    """COCO-Text v2 — unchecked TODO in the reference
+    (``README.md:100``); format per the dataset's ``cocotext.v2.json``:
+    one JSON with ``imgs`` (id → file_name), ``anns`` (id →
+    {image_id, mask, utf8_string, legibility}), ``imgToAnns``.
+
+    ``gt_dir`` is either the JSON file itself or a directory containing
+    ``cocotext.v2.json``. Only images actually present in ``img_dir`` are
+    returned; non-legible words become ignore entries (text ``###``) so
+    the standard ``ignore_tags`` machinery applies.
+    """
+    import json
+
+    gt_path = gt_dir
+    if os.path.isdir(gt_dir):
+        cands = sorted(glob.glob(os.path.join(gt_dir, "*.json")))
+        if not cands:
+            raise FileNotFoundError(f"no COCO-Text json under {gt_dir}")
+        gt_path = cands[0]
+    with open(gt_path, "r", encoding="utf-8") as f:
+        gt = json.load(f)
+    img_to_anns = gt.get("imgToAnns", {})
+    all_anns = gt.get("anns", {})
+    img_fps, anns = [], []
+    for img_id, meta in sorted(gt.get("imgs", {}).items(),
+                               key=lambda kv: str(kv[1].get("file_name"))):
+        fp = os.path.join(img_dir, meta["file_name"])
+        if not os.path.exists(fp):
+            continue
+        lines = []
+        for ann_id in img_to_anns.get(str(img_id), []):
+            ann = all_anns.get(str(ann_id))
+            if ann is None:
+                continue
+            mask = ann.get("mask", [])
+            poly = np.asarray(mask, np.float64).reshape(-1, 2).tolist()
+            if len(poly) < 3:
+                continue
+            text = ann.get("utf8_string", "") or ""
+            if ann.get("legibility", "legible") != "legible" or not text:
+                text = "###"
+            lines.append({"poly": poly, "text": text})
+        img_fps.append(fp)
+        anns.append(lines)
+    return img_fps, anns
+
+
+def load_synthtext(img_dir: str, gt_dir: str):
+    """SynthText — unchecked TODO in the reference (``README.md:101``);
+    format per the dataset's ``gt.mat``: MATLAB arrays ``imnames`` (1, N),
+    ``wordBB`` (1, N) of 2×4×M corner stacks (2×4 when M == 1), and
+    ``txt`` (1, N) of whitespace-joined word blocks.
+
+    ``gt_dir`` is the ``gt.mat`` file or a directory containing it;
+    ``img_dir`` is the SynthText root the relative ``imnames`` resolve
+    against. Missing images are skipped (the full set is 850k images —
+    partial local subsets are the common case).
+    """
+    from scipy.io import loadmat
+
+    gt_path = gt_dir
+    if os.path.isdir(gt_dir):
+        gt_path = os.path.join(gt_dir, "gt.mat")
+    mat = loadmat(gt_path, squeeze_me=False, simplify_cells=False)
+    imnames, wordbb, txt = mat["imnames"][0], mat["wordBB"][0], mat["txt"][0]
+    img_fps, anns = [], []
+    for i in range(len(imnames)):
+        name = str(np.asarray(imnames[i]).reshape(-1)[0])
+        fp = os.path.join(img_dir, name)
+        if not os.path.exists(fp):
+            continue
+        bb = np.asarray(wordbb[i], np.float64)
+        if bb.ndim == 2:  # single word: (2, 4) → (2, 4, 1)
+            bb = bb[:, :, None]
+        words = []
+        for block in np.asarray(txt[i]).reshape(-1):
+            words.extend(str(block).split())
+        lines = []
+        for j in range(bb.shape[2]):
+            poly = bb[:, :, j].T.tolist()  # (4, 2) clockwise corners
+            text = words[j] if j < len(words) else "###"
+            lines.append({"poly": poly, "text": text})
+        img_fps.append(fp)
+        anns.append(lines)
+    return img_fps, anns
+
+
+def load_art2019(img_dir: str, gt_dir: str):
+    """ArT 2019 — unchecked TODO in the reference (``README.md:102``);
+    format per the challenge's ``train_labels.json``: a dict keyed by the
+    image stem (``gt_123`` for ``gt_123.jpg``), each value a list of
+    ``{"points": [[x, y], ...], "transcription": str,
+    "illegibility": bool}``.
+
+    ``gt_dir`` is the JSON file or a directory containing one. Arbitrary
+    vertex counts (curved text) pass through; illegible entries become
+    ignore entries (``###``).
+    """
+    import json
+
+    gt_path = gt_dir
+    if os.path.isdir(gt_dir):
+        cands = sorted(glob.glob(os.path.join(gt_dir, "*.json")))
+        if not cands:
+            raise FileNotFoundError(f"no ArT json under {gt_dir}")
+        gt_path = cands[0]
+    with open(gt_path, "r", encoding="utf-8") as f:
+        gt = json.load(f)
+    img_fps, anns = [], []
+    for img_fp in sorted(glob.glob(os.path.join(img_dir, "*"))):
+        stem = os.path.basename(img_fp).rsplit(".", 1)[0]
+        entries = gt.get(stem)
+        if entries is None:
+            continue
+        lines = []
+        for e in entries:
+            poly = np.asarray(e.get("points", []), np.float64).tolist()
+            if len(poly) < 3:
+                continue
+            text = e.get("transcription", "") or "###"
+            if e.get("illegibility", False):
+                text = "###"
+            lines.append({"poly": poly, "text": text})
+        img_fps.append(img_fp)
+        anns.append(lines)
+    return img_fps, anns
+
+
 PARSERS = {
     "totaltext": load_totaltext,
     "ctw1500": load_ctw1500,
     "icdar2015": load_icdar2015,
     "msra_td500": load_msra_td500,
+    "cocotext": load_cocotext,
+    "synthtext": load_synthtext,
+    "art2019": load_art2019,
 }

@@ -94,6 +94,91 @@ def test_msra_rotation():
     assert arr[:, 1].max() - arr[:, 1].min() == pytest.approx(40, abs=1)
 
 
+def test_cocotext_parser(tmp_path):
+    import json
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    (img_dir / "COCO_train_001.jpg").touch()
+    gt = {
+        "imgs": {"1": {"file_name": "COCO_train_001.jpg"},
+                 "2": {"file_name": "missing.jpg"}},
+        "imgToAnns": {"1": [10, 11, 12]},
+        "anns": {
+            "10": {"image_id": 1, "utf8_string": "word",
+                   "legibility": "legible",
+                   "mask": [0, 0, 30, 0, 30, 10, 0, 10]},
+            "11": {"image_id": 1, "utf8_string": "blur",
+                   "legibility": "illegible",
+                   "mask": [5, 5, 15, 5, 15, 9, 5, 9]},
+            "12": {"image_id": 1, "utf8_string": "xx",
+                   "legibility": "legible", "mask": [1, 1, 2, 2]},
+        },
+    }
+    (tmp_path / "cocotext.v2.json").write_text(json.dumps(gt))
+    fps, anns = parsers.load_cocotext(str(img_dir), str(tmp_path))
+    assert len(fps) == 1  # missing.jpg skipped
+    assert len(anns[0]) == 2  # 2-point mask dropped
+    assert anns[0][0]["text"] == "word"
+    assert anns[0][0]["poly"] == [[0, 0], [30, 0], [30, 10], [0, 10]]
+    assert anns[0][1]["text"] == "###"  # illegible -> ignore tag
+
+
+def test_synthtext_parser(tmp_path):
+    from scipy.io import savemat
+
+    img_dir = tmp_path / "root"
+    (img_dir / "8").mkdir(parents=True)
+    (img_dir / "8" / "ballet_3.jpg").touch()
+    # image 0: two words (2, 4, 2); image 1 (missing on disk): skipped
+    wordbb0 = np.stack([
+        np.array([[0, 30, 30, 0], [0, 0, 10, 10]], np.float64),
+        np.array([[40, 70, 70, 40], [0, 0, 10, 10]], np.float64),
+    ], axis=2)
+    def _cells(items):
+        arr = np.empty((1, len(items)), dtype=object)
+        for i, it in enumerate(items):
+            arr[0, i] = it
+        return arr
+
+    mat = {
+        "imnames": _cells([np.array(["8/ballet_3.jpg"]),
+                           np.array(["gone.jpg"])]),
+        "wordBB": _cells([wordbb0, wordbb0[:, :, 0]]),
+        "txt": _cells([np.array(["hello\n world"]), np.array(["x"])]),
+    }
+    savemat(tmp_path / "gt.mat", mat)
+    fps, anns = parsers.load_synthtext(str(img_dir), str(tmp_path))
+    assert len(fps) == 1
+    assert len(anns[0]) == 2
+    assert anns[0][0]["text"] == "hello"
+    assert anns[0][1]["text"] == "world"
+    assert anns[0][0]["poly"] == [[0, 0], [30, 0], [30, 10], [0, 10]]
+
+
+def test_art2019_parser(tmp_path):
+    import json
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    (img_dir / "gt_7.jpg").touch()
+    gt = {"gt_7": [
+        {"points": [[0, 0], [20, 0], [25, 8], [10, 12], [0, 10]],
+         "transcription": "curved", "illegibility": False},
+        {"points": [[1, 1], [2, 2]], "transcription": "tiny",
+         "illegibility": False},
+        {"points": [[5, 5], [9, 5], [9, 9]], "transcription": "??",
+         "illegibility": True},
+    ]}
+    (tmp_path / "train_labels.json").write_text(json.dumps(gt))
+    fps, anns = parsers.load_art2019(str(img_dir), str(tmp_path))
+    assert len(fps) == 1
+    assert len(anns[0]) == 2  # 2-point entry dropped
+    assert anns[0][0]["text"] == "curved"
+    assert len(anns[0][0]["poly"]) == 5  # arbitrary vertex count kept
+    assert anns[0][1]["text"] == "###"  # illegible -> ignore
+
+
 # --------------------------------------------------------------------------
 # label generation
 # --------------------------------------------------------------------------
