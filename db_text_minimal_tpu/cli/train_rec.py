@@ -37,6 +37,10 @@ def load_args(argv=None):
     parser.add_argument("--crop_dir", type=str, required=True,
                         help="directory of word crops + labels.txt")
     parser.add_argument("--out", type=str, default="./models/rec.ckpt")
+    parser.add_argument("--init_from", type=str, default=None,
+                        help="warm-start params/batch_stats from an "
+                        "existing recognition checkpoint (fine-tuning); "
+                        "optimizer state starts fresh")
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -102,6 +106,13 @@ def main(opt):
     tx = optax.scale_by_adam()
     state = init_rec_state(model, tx, seed=opt.seed, img_h=opt.imgH,
                            img_w=opt.imgW)
+    if opt.init_from:
+        from ..train.checkpoints import load_params_any
+
+        logger.info("fine-tuning from %s", opt.init_from)
+        restored = load_params_any(opt.init_from)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored.get("batch_stats", {}))
     step = jax.jit(build_rec_train_step(model, tx))
 
     images, texts = load_crop_dataset(opt)

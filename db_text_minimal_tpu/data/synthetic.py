@@ -189,9 +189,20 @@ def export_word_crops(section: dict, out_dir: str, img_h: int = 32,
     for fp, ann in zip(fps, anns):
         img = cv2.imread(fp)[:, :, ::-1]
         for item in ann:
+            if item.get("text") == "###":
+                continue
             poly = np.asarray(item["poly"], np.float64)
             if len(poly) != 4:
-                continue
+                # Curved/line-level GT (e.g. 14-point hard-bench words):
+                # rectify via the min-area rect — the SAME transform the
+                # e2e inference path applies to detected boxes
+                # (cli/rec_bench._warp_crop), so train and test crops see
+                # identical geometry.
+                try:
+                    rect, _ = geo.min_area_rect(poly)
+                except ValueError:
+                    continue
+                poly = np.asarray(rect, np.float64)
             center = poly.mean(axis=0)
             for copy in range(jitter_copies):
                 if copy == 0:

@@ -480,7 +480,7 @@ def test_make_eval_batched_matches_single(trained, tmp_path):
 
 
 def test_make_eval_folded_infer_mode_matches_flax(trained, tmp_path):
-    """--infer_mode folded (BN-folded, s2d stem, prob-only) finds the same
+    """--infer_mode folded (BN-folded, prob-only) finds the same
     regions as the parity flax forward."""
     from db_text_minimal_tpu.cli import make_eval
     from db_text_minimal_tpu.ops import geometry as geo
