@@ -90,3 +90,80 @@ def test_train_rec_cli_end_to_end(tmp_path, rng):
 
     variables = load_params_any(path)
     assert "params" in variables
+
+
+def test_train_rec_init_from(tmp_path, rng):
+    """--init_from warm-starts params from an existing checkpoint: with
+    lr=0 the fine-tuned run's saved params are exactly the donor's."""
+    import cv2
+
+    from db_text_minimal_tpu.cli import train_rec
+    from db_text_minimal_tpu.train.checkpoints import load_params_any
+
+    crop_dir = tmp_path / "crops"
+    crop_dir.mkdir()
+    lines = []
+    for i, word in enumerate(["08", "15"] * 2):
+        img = np.zeros((32, 100), np.uint8)
+        cv2.putText(img, word, (4, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.8, 255,
+                    2)
+        cv2.imwrite(str(crop_dir / f"w{i}.jpg"), img)
+        lines.append(f"w{i}.jpg\t{word}")
+    (crop_dir / "labels.txt").write_text("\n".join(lines) + "\n")
+
+    small = ["--FeatureExtraction", "VGG", "--SequenceModeling", "None",
+             "--Prediction", "CTC", "--output_channel", "128",
+             "--hidden_size", "64", "--batch_size", "4"]
+    donor = str(tmp_path / "donor.ckpt")
+    train_rec.main(train_rec.load_args(
+        ["--crop_dir", str(crop_dir), "--out", donor, "--epochs", "1"]
+        + small))
+
+    tuned = str(tmp_path / "tuned.ckpt")
+    train_rec.main(train_rec.load_args(
+        ["--crop_dir", str(crop_dir), "--out", tuned, "--epochs", "1",
+         "--lr", "0.0", "--init_from", donor] + small))
+
+    a = load_params_any(donor)["params"]
+    b = load_params_any(tuned)["params"]
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_export_word_crops_curved_and_ignored(tmp_path):
+    """export_word_crops rectifies curved (14-pt) GT via min-area rect and
+    skips '###' ignored words (hard-bench/CTW-style line-level GT)."""
+    import cv2
+
+    from db_text_minimal_tpu.data.synthetic import export_word_crops
+
+    img_dir = tmp_path / "train_images"
+    gt_dir = tmp_path / "train_gts"
+    img_dir.mkdir()
+    gt_dir.mkdir()
+    img = np.full((120, 200, 3), 40, np.uint8)
+    cv2.putText(img, "AB", (20, 50), cv2.FONT_HERSHEY_SIMPLEX, 1.2,
+                (230, 230, 230), 2)
+    cv2.imwrite(str(img_dir / "img1.jpg"), img)
+    quad = "10,30,90,30,90,60,10,60,AB"
+    # 14-point wavy polygon (7 top + 7 bottom points)
+    top = [(20 + 12 * i, 80 + (3 if i % 2 else -3)) for i in range(7)]
+    bot = [(104 - 12 * i, 105 + (3 if i % 2 else -3)) for i in range(7)]
+    curved = ",".join(f"{x},{y}" for x, y in top + bot) + ",WAVY"
+    ignored = "120,30,180,30,180,60,120,60,###"
+    (gt_dir / "gt_img1.txt").write_text(
+        quad + "\n" + curved + "\n" + ignored + "\n")
+
+    out = export_word_crops({"train_dir": str(img_dir),
+                             "train_gt_dir": str(gt_dir)},
+                            str(tmp_path / "out"), jitter_copies=1)
+    lines = [ln.split("\t") for ln in
+             open(os.path.join(out, "labels.txt")).read().strip().split("\n")]
+    texts = [t for _, t in lines]
+    assert texts == ["AB", "WAVY"]          # ignored word skipped
+    for fname, _ in lines:
+        crop = cv2.imread(os.path.join(out, fname))
+        assert crop is not None and crop.shape == (32, 100, 3)
