@@ -156,6 +156,14 @@ def default_config() -> ConfigNode:
             # (scratch10 / 30ep / 40ep, both protocols —
             # demo/hard_bench/device_parity_r3.json).
             "device_boxes": True,
+            # ...but the PER-EPOCH eval inside a long-lived TRAINING
+            # process defaults to the host representer: two independent
+            # serialized runs measured in-process device rows ~4 F-points
+            # below host (docs/PERFORMANCE.md "REOPENED" note), which
+            # would bias best-hmean checkpoint selection. Fresh-process
+            # evals (make_eval, quality_bench --eval_only) are certified
+            # and unaffected by this flag.
+            "device_boxes_in_train": False,
         },
         "parallel": {
             "data_axis": "data",

@@ -384,10 +384,16 @@ class Trainer:
         is_poly = bool(cfg.metric.is_output_polygon)
         # rect mode with metric.device_boxes=True uses the on-device box
         # extractor (threshold + CC + oriented rects under jit; K records
-        # D2H instead of full maps); default + polygon mode take the host
-        # parity path
+        # D2H instead of full maps); polygon mode takes the host parity
+        # path. Inside a training process this additionally requires
+        # device_boxes_in_train: in-process post-training device evals
+        # measured ~4 F-points low twice (docs/PERFORMANCE.md REOPENED
+        # note) and would bias best-hmean checkpoint selection.
         use_device_boxes = (not is_poly
-                            and bool(cfg.metric.device_boxes))
+                            and bool(cfg.metric.device_boxes)
+                            and bool(getattr(cfg.metric,
+                                             "device_boxes_in_train",
+                                             False)))
         rep_cls = DeviceBoxRepresenter if use_device_boxes \
             else SegDetectorRepresenter
         seg_obj = rep_cls(

@@ -216,3 +216,44 @@ def test_eval_epoch_with_batch_size_two(synth, tmp_path):
     test_loss, running, recall, precision, hmean = trainer.eval_epoch(state)
     assert np.isfinite(test_loss)
     assert 0.0 <= hmean <= 1.0
+
+
+def test_in_train_eval_host_representer_default(synth, tmp_path,
+                                                monkeypatch):
+    """The per-epoch eval inside a training process defaults to the HOST
+    representer even with metric.device_boxes=True (in-process
+    post-training device evals measured ~4 F-points low twice —
+    docs/PERFORMANCE.md REOPENED note); metric.device_boxes_in_train=True
+    opts back in."""
+    from db_text_minimal_tpu.train import trainer as trainer_mod
+
+    d, section = synth
+    cfg = _small_cfg(tmp_path, section)
+    cfg.metric.is_output_polygon = False
+    cfg.metric.device_boxes = True
+    train_loader, test_loader = _loaders(str(d), cfg)
+
+    used = []
+    real_dev, real_host = (trainer_mod.DeviceBoxRepresenter,
+                           trainer_mod.SegDetectorRepresenter)
+
+    def spy(cls, name):
+        def make(*a, **k):
+            used.append(name)
+            return cls(*a, **k)
+        return make
+
+    monkeypatch.setattr(trainer_mod, "DeviceBoxRepresenter",
+                        spy(real_dev, "device"))
+    monkeypatch.setattr(trainer_mod, "SegDetectorRepresenter",
+                        spy(real_host, "host"))
+
+    trainer = Trainer(cfg, train_loader, test_loader)
+    state = trainer.init_state(image_size=128, batch_size=2)
+    trainer.eval_epoch(state)
+    assert used == ["host"]
+
+    cfg.metric.device_boxes_in_train = True
+    used.clear()
+    trainer.eval_epoch(state)
+    assert used == ["device"]
