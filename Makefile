@@ -129,3 +129,17 @@ bench:
 # real-chip Pallas kernel gate; appends a pass record to demo/tpu_gate.json
 tpu-gate:
 	python tpu_gate.py
+
+# train the in-tree recognizer on exported word crops (labels.txt format)
+train-rec:
+	python -m db_text_minimal_tpu.cli.train_rec \
+		--crop_dir $(crop_dir) --out $(rec_model_path) --epochs 12
+
+# recognition word accuracy + OCR end-to-end benchmarks (demo/ocr/*.json)
+rec-bench:
+	python -m db_text_minimal_tpu.cli.rec_bench --mode rec \
+		--data_dir $(data_dir) --saved_model $(rec_model_path) \
+		--out demo/ocr/rec_accuracy.json
+	python -m db_text_minimal_tpu.cli.rec_bench --mode e2e \
+		--data_dir $(data_dir) --saved_model $(rec_model_path) \
+		--det_model_path $(model_path) --out demo/ocr/ocr_e2e.json
