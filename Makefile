@@ -23,7 +23,7 @@ save_dir := $(cwd)/assets
 .PHONY: lint test train export test-heatmap test-poly test-rect test-all \
 	make-eval ioueval deteval serve serve-stop serve-request bench \
 	synthetic test-pp test-folder test-webcam test-video \
-	hard-bench quality-bench pretrain-backbone tpu-gate
+	hard-bench quality-bench pretrain-backbone tpu-gate train-rec rec-bench
 
 lint:
 	python -m compileall -q db_text_minimal_tpu

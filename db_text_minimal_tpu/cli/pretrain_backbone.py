@@ -38,15 +38,19 @@ def main(argv=None):
     if args.pretext == "dense":
         result = pretrain_backbone_dense(
             args.train_dir, args.gt_dir, args.out, backbone=args.backbone,
-            steps=args.steps or 1000, batch_size=args.batch_size,
-            lr=args.lr or 2e-3, seed=args.seed,
-            limit_images=args.limit_images or 512)
+            steps=1000 if args.steps is None else args.steps,
+            batch_size=args.batch_size,
+            lr=2e-3 if args.lr is None else args.lr, seed=args.seed,
+            limit_images=(512 if args.limit_images is None
+                          else args.limit_images))
     else:
         result = pretrain_backbone(
             args.train_dir, args.gt_dir, args.out, backbone=args.backbone,
-            steps=args.steps or 300, batch_size=args.batch_size,
-            lr=args.lr or 1e-3, seed=args.seed,
-            limit_images=args.limit_images or 256)
+            steps=300 if args.steps is None else args.steps,
+            batch_size=args.batch_size,
+            lr=1e-3 if args.lr is None else args.lr, seed=args.seed,
+            limit_images=(256 if args.limit_images is None
+                          else args.limit_images))
     print(json.dumps(result))
 
 

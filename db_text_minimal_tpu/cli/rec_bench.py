@@ -100,9 +100,14 @@ def _warp_crop(img, poly, img_w=100, img_h=32):
     dst = np.array([[0, 0], [img_w, 0], [img_w, img_h], [0, img_h]],
                    np.float64)
     if len(poly) != 4:
-        # rectify via the min-area rect of the polygon
-        poly, _ = geo.min_area_rect(np.asarray(poly, np.float64))
-        poly = np.asarray(poly, np.float64)
+        # rectify via the min-area rect of the polygon; min_area_rect
+        # corners start at an arbitrary hull edge, so order them
+        # clockwise-from-top-left to align with dst (otherwise the crop
+        # comes out rotated 90/180/270 degrees per instance)
+        from ..postprocess import order_rect_points
+
+        rect, _ = geo.min_area_rect(np.asarray(poly, np.float64))
+        poly = np.asarray(order_rect_points(np.asarray(rect)), np.float64)
     matrix = geo.get_perspective_transform(poly, dst)
     return geo.warp_perspective(img, matrix, (img_w, img_h))
 
@@ -174,6 +179,9 @@ def run_e2e(args):
         boxes = [b for b in box_list[0] if np.abs(np.asarray(b)).sum() > 0]
         gts = [(poly, _norm_text(text, args.character))
                for poly, text in words]
+        # run_rec skips words that normalize to nothing; mirror that here
+        # so an empty recognizer output can't count as a correct e2e hit
+        gts = [(p_, t) for p_, t in gts if t]
         n_gt += len(gts)
         n_det += len(boxes)
         used = set()

@@ -197,12 +197,17 @@ def export_word_crops(section: dict, out_dir: str, img_h: int = 32,
                 # rectify via the min-area rect — the SAME transform the
                 # e2e inference path applies to detected boxes
                 # (cli/rec_bench._warp_crop), so train and test crops see
-                # identical geometry.
+                # identical geometry. min_area_rect corners start at an
+                # arbitrary hull edge; order clockwise-from-top-left so
+                # the warp is upright rather than rotated per instance.
+                from ..postprocess import order_rect_points
+
                 try:
                     rect, _ = geo.min_area_rect(poly)
                 except ValueError:
                     continue
-                poly = np.asarray(rect, np.float64)
+                poly = np.asarray(order_rect_points(np.asarray(rect)),
+                                  np.float64)
             center = poly.mean(axis=0)
             for copy in range(jitter_copies):
                 if copy == 0:

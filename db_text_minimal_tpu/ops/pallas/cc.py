@@ -397,26 +397,31 @@ def _hole_stats(bitmap, fg_keyed, flat_prob, h, w, max_components):
     border_hits = border_hits.at[bg_keyed].max(
         is_border.reshape(-1).astype(jnp.int32))
 
-    # enclosing fg slot per bg component = max fg slot among 8-neighbors
-    # (holes border exactly one fg component in non-pathological scenes)
+    # enclosing fg slot per bg component = MIN fg slot among 8-neighbors.
+    # Min, not max: when another component is NESTED inside the hole, the
+    # hole borders both, and slots are assigned in raster order of each
+    # component's root pixel — the enclosing ring's topmost pixel always
+    # precedes any nested component's, so the minimum adjacent slot IS
+    # the enclosing component. (Max routed such holes to the nested
+    # blob, corrupting its score with hole pixels the host never adds.)
     fg_slot_map = jnp.where(
         fg_keyed.reshape(h, w) < max_components,
-        fg_keyed.reshape(h, w), -1)
-    padded = jnp.pad(fg_slot_map, 1, constant_values=-1)
-    neigh_best = jnp.full((h, w), -1, jnp.int32)
+        fg_keyed.reshape(h, w), max_components)
+    padded = jnp.pad(fg_slot_map, 1, constant_values=max_components)
+    neigh_best = jnp.full((h, w), max_components, jnp.int32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            neigh_best = jnp.maximum(
+            neigh_best = jnp.minimum(
                 neigh_best,
                 jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w)))
-    enclosing = jnp.full((max_components + 1,), -1, jnp.int32)
-    enclosing = enclosing.at[bg_keyed].max(
-        jnp.where(bg.reshape(-1), neigh_best.reshape(-1), -1))
+    enclosing = jnp.full((max_components + 1,), max_components, jnp.int32)
+    enclosing = enclosing.at[bg_keyed].min(
+        jnp.where(bg.reshape(-1), neigh_best.reshape(-1), max_components))
 
     # route each hole pixel's prob to its enclosing fg slot
-    enc_ok = (enclosing >= 0) & (border_hits == 0)
+    enc_ok = (enclosing < max_components) & (border_hits == 0)
     target = jnp.where(enc_ok, enclosing, max_components)
     per_pixel_target = jnp.take(target, bg_keyed)
     per_pixel_target = jnp.where(bg.reshape(-1), per_pixel_target,
@@ -464,8 +469,13 @@ def _device_poly_stats_single(prob_map, thresh, max_components: int):
     bboxes = jnp.stack([xmin, ymin, xmax, ymax], axis=1).astype(jnp.int32)
 
     # MSB-first bit-pack (np.unpackbits default order on host); accumulate
-    # in int32 — a uint8 sum could wrap under jnp's no-promotion rules
-    bits = bitmap.reshape(h, w // 8, 8).astype(jnp.int32)
+    # in int32 — a uint8 sum could wrap under jnp's no-promotion rules.
+    # Pad the row to the next byte boundary for non-multiple-of-8 widths
+    # (the host unpack slices back to ``width``).
+    w8 = -(-w // 8) * 8
+    row_padded = (bitmap if w8 == w
+                  else jnp.pad(bitmap, ((0, 0), (0, w8 - w))))
+    bits = row_padded.reshape(h, w8 // 8, 8).astype(jnp.int32)
     weights = jnp.int32(1) << jnp.arange(7, -1, -1, dtype=jnp.int32)
     packed = (bits * weights).sum(axis=-1).astype(jnp.uint8)
     return packed, bboxes, scores, valid

@@ -98,8 +98,13 @@ class DevicePolyRepresenter:
     equals its component's pixel bbox). Unmatched contours are hole
     borders; the host path rejects those at the ``box_thresh`` gate
     whenever ``box_thresh > thresh`` (a hole's interior prob is ≤ thresh
-    by construction), so dropping them is output-identical in every
-    supported config.
+    by construction), so dropping them matches the host in every
+    supported config. Known divergence: when another component is NESTED
+    inside a component's hole, the host's filled-outer-contour mean also
+    includes the nested component's pixels while the device mean covers
+    the component + its holes only (the nested component itself scores
+    exactly); and two distinct components sharing a bit-identical pixel
+    bbox make the score pairing within that bbox ambiguous.
     """
 
     def __init__(self, thresh=0.3, box_thresh=0.7, max_candidates=1000,
@@ -127,8 +132,16 @@ class DevicePolyRepresenter:
         for i in range(packed.shape[0]):
             dest_h, dest_w = batch["shape"][i]
             bitmap = np.unpackbits(packed[i], axis=-1)[:, :width]
-            score_lut = {tuple(bb): float(s) for bb, s, v in
-                         zip(bboxes[i], scores[i], valid[i]) if v}
+            # bbox -> scores. Two DISTINCT components can share an
+            # identical pixel bbox (e.g. crossing diagonal strokes); keep
+            # every score under the key and pop one per matched contour so
+            # no component's score is silently overwritten (the pairing
+            # within a collision is ambiguous, but collisions require
+            # bit-identical bboxes and are vanishingly rare).
+            score_lut: dict = {}
+            for bb, s, v in zip(bboxes[i], scores[i], valid[i]):
+                if v:
+                    score_lut.setdefault(tuple(bb), []).append(float(s))
             boxes, kept = self._finish(bitmap, score_lut, width, height,
                                        dest_w, dest_h)
             boxes_batch.append(boxes)
@@ -148,9 +161,10 @@ class DevicePolyRepresenter:
                 continue
             key = (int(contour[:, 0].min()), int(contour[:, 1].min()),
                    int(contour[:, 0].max()), int(contour[:, 1].max()))
-            score = score_lut.get(key)
-            if score is None:
+            bucket = score_lut.get(key)
+            if not bucket:
                 continue  # hole border (see class docstring)
+            score = bucket.pop()
             if self.box_thresh > score:
                 continue
             expanded = _unclip(points, self.unclip_ratio)

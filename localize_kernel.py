@@ -30,7 +30,8 @@ def stages(prob_map, max_components=1000):
     out["valid_root"] = valid_root
     corners, sides, scores, valid, center, ang = \
         cc.component_rotated_boxes(prob_map, labels,
-                                   max_components=max_components)
+                                   max_components=max_components,
+                                   hole_filled_score=True)
     out["corners"] = corners
     out["sides"] = sides
     out["scores"] = scores

@@ -296,3 +296,57 @@ def test_hole_filled_device_score_matches_box_score_fast():
     assert abs(dev_score - host_score) < 2e-3
     # and both are far below the component-only mean (0.7)
     assert dev_score < 0.65
+
+
+def test_device_poly_non_multiple_of_8_width():
+    """device_poly_stats bit-packs rows padded to the next byte boundary,
+    so non-multiple-of-8 map widths (e.g. 100) work and match the host
+    polygon path (the unpadded reshape raised at trace time)."""
+    from db_text_minimal_tpu.postprocess import DevicePolyRepresenter
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    m = np.zeros((100, 100), np.float32)
+    m[20:40, 10:90] = rng.uniform(0.7, 0.95, (20, 80))
+    m[60:75, 30:61] = rng.uniform(0.6, 0.9, (15, 31))
+    maps = m[None]
+    batch = {"shape": [(100, 100)]}
+    host = SegDetectorRepresenter(thresh=0.3, box_thresh=0.5)
+    dev = DevicePolyRepresenter(thresh=0.3, box_thresh=0.5)
+    hb, hs = host(batch, maps[..., None], is_output_polygon=True)
+    db, ds = dev(batch, jnp.asarray(maps), is_output_polygon=True)
+    assert len(hb[0]) == len(db[0]) and len(db[0]) >= 2
+    for a, b in zip(hb[0], db[0]):
+        assert np.abs(a - b).max() == 0
+    np.testing.assert_allclose(hs[0], ds[0], atol=2e-3)
+
+
+def test_device_score_nested_component_in_hole():
+    """A ring component with ANOTHER component nested inside its hole:
+    the hole must route to the ENCLOSING ring (min adjacent slot), not
+    the nested blob — max-routing corrupted the nested blob's score with
+    hole pixels and inverted the box_thresh keep decision vs host."""
+    from db_text_minimal_tpu.postprocess import (DeviceBoxRepresenter,
+                                                 SegDetectorRepresenter)
+    import jax.numpy as jnp
+
+    m = np.full((128, 128), 0.05, np.float32)
+    # ring A at prob .55: 60x60 outer, 36x36 hole
+    m[30:90, 30:90] = 0.55
+    m[42:78, 42:78] = 0.05
+    # nested blob B at prob .95 inside the hole
+    m[54:66, 54:66] = 0.95
+    batch = {"shape": [(128, 128)]}
+    host = SegDetectorRepresenter(thresh=0.3, box_thresh=0.7)
+    dev = DeviceBoxRepresenter(thresh=0.3, box_thresh=0.7)
+    hb, hs = host(batch, m[None, ..., None], is_output_polygon=False)
+    db, ds = dev(batch, jnp.asarray(m[None]), is_output_polygon=False)
+    # host: A's filled-contour mean ~.42 (rejected -> zero-padded entry),
+    # B .95 (kept)
+    host_kept = [s for s in np.asarray(hs[0]).tolist() if s > 0]
+    assert host_kept == pytest.approx([0.95], abs=0.01), hs[0]
+    # device must agree: exactly one kept box, the nested blob, score ~.95
+    assert len(db[0]) == 1, (len(db[0]), ds[0])
+    assert ds[0][0] > 0.9, ds[0]
+    center = np.asarray(db[0][0], float).mean(axis=0)
+    np.testing.assert_allclose(center, [60, 60], atol=2.0)

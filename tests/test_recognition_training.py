@@ -167,3 +167,34 @@ def test_export_word_crops_curved_and_ignored(tmp_path):
     for fname, _ in lines:
         crop = cv2.imread(os.path.join(out, fname))
         assert crop is not None and crop.shape == (32, 100, 3)
+
+
+def test_warp_crop_nonquad_orientation():
+    """Curved-GT rectification must order min-area-rect corners: the same
+    rotated rect expressed as a 4-pt quad and as an 8-pt polygon (corners
+    + edge midpoints) must warp to the same upright crop (the unordered
+    corners came back rotated 90/180/270 degrees per instance)."""
+    from db_text_minimal_tpu.cli.rec_bench import _warp_crop
+    from db_text_minimal_tpu.postprocess import order_rect_points
+
+    # smooth asymmetric image: any rotation of the crop changes it a lot
+    yy, xx = np.mgrid[0:120, 0:160]
+    img = np.stack([xx * 1.5, yy * 2.0, xx * 0.5 + yy], -1).astype(np.uint8)
+
+    for angle_deg in (10, 55, 100, 160, 250):
+        a = np.deg2rad(angle_deg)
+        rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+        base = np.array([[-30, -10], [30, -10], [30, 10], [-30, 10]],
+                        np.float64)
+        quad = base @ rot.T + np.array([80, 60])
+        quad_ordered = np.asarray(order_rect_points(quad), np.float64)
+        # 8-pt polygon: corners + edge midpoints
+        mids = (quad + np.roll(quad, -1, axis=0)) / 2
+        poly8 = np.empty((8, 2), np.float64)
+        poly8[0::2] = quad
+        poly8[1::2] = mids
+
+        crop_quad = _warp_crop(img, quad_ordered)
+        crop_poly = _warp_crop(img, poly8)
+        diff = np.abs(crop_quad.astype(float) - crop_poly.astype(float))
+        assert diff.mean() < 3.0, (angle_deg, diff.mean())
