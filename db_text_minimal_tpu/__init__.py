@@ -32,3 +32,21 @@ Package layout (see SURVEY.md §7 for the reference layer map this covers):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a platform plugin (the axon TPU runtime)
+# would otherwise win platform selection: the env var alone is NOT enough in
+# this environment — ``JAX_PLATFORMS=cpu python -m db_text_minimal_tpu.cli.X``
+# silently ran on the TPU. jax.config.update works as long as the backend is
+# not initialized yet (same pattern as ``__graft_entry__.dryrun_multichip``
+# and ``tests/conftest.py``); a no-op when the values already agree.
+import os as _os
+
+_want = _os.environ.get("JAX_PLATFORMS", "")
+if _want:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _want)
+    except Exception:  # backend already initialized, or jax absent
+        pass
+del _os, _want
