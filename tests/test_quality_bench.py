@@ -36,3 +36,29 @@ def test_quality_bench_end_to_end(tmp_path):
     report = main(args)
     assert report["config"]["quant"] is True
     assert os.path.exists(out2)
+
+
+@pytest.mark.slow
+def test_checkpoint_saved_before_final_eval(tmp_path, monkeypatch):
+    """A tunnel outage during the final eval must not lose the training:
+    the checkpoint (and its provenance sidecar) are written before
+    full_eval runs (a real remote_compile drop cost a 10-epoch run)."""
+    from db_text_minimal_tpu.data.synthetic import generate
+    from db_text_minimal_tpu.cli import quality_bench as qb
+
+    generate(str(tmp_path / "ds"), n_train=2, n_test=2, size=192, seed=11)
+    ckpt = str(tmp_path / "m.ckpt")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated tunnel outage")
+
+    monkeypatch.setattr(qb, "full_eval", boom)
+    args = qb.load_args(["--data_dir", str(tmp_path / "ds"),
+                         "--out", str(tmp_path / "metrics.json"),
+                         "--epochs", "1", "--batch_size", "2",
+                         "--test_batch_size", "2", "--img_size", "192",
+                         "--save_checkpoint", ckpt])
+    with pytest.raises(RuntimeError, match="simulated tunnel outage"):
+        qb.main(args)
+    assert os.path.exists(ckpt)
+    assert os.path.exists(ckpt + ".train_config.json")
