@@ -37,17 +37,34 @@ _TPU_WORKLOAD_MARKERS = ("quality_bench", "cli.train", "train_rec",
                          "e2e_probe", "pretrain_backbone")
 
 
+def _ancestor_pids():
+    """Own pid plus every ancestor — a bench launched as a chain step must
+    not treat its own parent ``bash /tmp/chainNN.sh`` as a blocking
+    workload (self-deadlock)."""
+    pids, pid = set(), os.getpid()
+    while pid > 1 and pid not in pids:
+        pids.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(")")[-1].split()[1])  # field 4: ppid
+        except (OSError, ValueError, IndexError):
+            break
+    return pids
+
+
 def _other_tpu_pids():
     pids = []
-    me = os.getpid()
+    skip = _ancestor_pids()
     for pid in os.listdir("/proc"):
-        if not pid.isdigit() or int(pid) == me:
+        if not pid.isdigit() or int(pid) in skip:
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
                 cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
         except OSError:
             continue
+        if "pytest" in cmd:
+            continue  # CPU-mesh test runs name the same modules
         if ("python" in cmd and any(m in cmd for m in _TPU_WORKLOAD_MARKERS)) \
                 or ("bash" in cmd and "/tmp/chain" in cmd):
             pids.append((int(pid), cmd.strip()))
@@ -74,6 +91,12 @@ def wait_for_exclusive_tpu(max_wait_s: float = 2400.0) -> None:
         print(f"# bench: waiting on TPU workload {others[0]}",
               file=sys.stderr)
         time.sleep(60)
+    # If a workload outlives the budget we proceed anyway: the driver needs
+    # its one JSON line more than the (already-suspect, mid-flight) chain
+    # results need protection, and exiting here would record nothing.
+    # The liveness probe gets its own budget so a long workload wait cannot
+    # starve it.
+    deadline = max(deadline, time.time() + 1500.0)
     while time.time() < deadline:
         try:
             probe = subprocess.run(

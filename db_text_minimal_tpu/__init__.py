@@ -33,20 +33,27 @@ Package layout (see SURVEY.md §7 for the reference layer map this covers):
 
 __version__ = "0.1.0"
 
-# Honor JAX_PLATFORMS even when a platform plugin (the axon TPU runtime)
+# Honor JAX_PLATFORMS=cpu even when a platform plugin (the axon TPU runtime)
 # would otherwise win platform selection: the env var alone is NOT enough in
 # this environment — ``JAX_PLATFORMS=cpu python -m db_text_minimal_tpu.cli.X``
 # silently ran on the TPU. jax.config.update works as long as the backend is
 # not initialized yet (same pattern as ``__graft_entry__.dryrun_multichip``
-# and ``tests/conftest.py``); a no-op when the values already agree.
+# and ``tests/conftest.py``).
+#
+# Deliberately applied ONLY for "cpu" (the restricting direction): scripts
+# that explicitly pin ``jax.config.update("jax_platforms", "cpu")`` before
+# importing this package run under env JAX_PLATFORMS=axon, and an
+# unconditional override would silently flip their CPU-intended work back
+# onto the tunneled TPU (jax.config records no "explicitly set" bit to
+# detect that case).
 import os as _os
 
-_want = _os.environ.get("JAX_PLATFORMS", "")
-if _want:
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
     try:
         import jax as _jax
 
-        _jax.config.update("jax_platforms", _want)
+        _jax.config.update("jax_platforms", "cpu")
+        del _jax
     except Exception:  # backend already initialized, or jax absent
         pass
-del _os, _want
+del _os
