@@ -36,8 +36,13 @@ def load_model(model_path: str, backbone: str = "resnet18",
 
         variables = fuse_variables(variables)
         head = "FusedDBHead"
+    # structured-pruning sidecar (models/prune.py): a pruned checkpoint
+    # carries its channel widths next to it and loads transparently
+    from ..models.prune import load_widths, widths_to_model_kwargs
+
+    widths = widths_to_model_kwargs(load_widths(model_path))
     model = DBTextModel(backbone_name=backbone, neck_name=neck,
-                        head_name=head, dtype=dtype)
+                        head_name=head, dtype=dtype, **widths)
     return model, variables
 
 

@@ -31,6 +31,7 @@ from ..data import DataLoader, build_dataset
 from ..metrics import QuadMetric
 from ..metrics.deteval import DetectionDetEvalEvaluator
 from ..metrics.iou import DetectionIoUEvaluator
+from ..models.prune import load_widths
 from ..postprocess import (DeviceBoxRepresenter, DevicePolyRepresenter,
                            SegDetectorRepresenter)
 from ..train import Trainer
@@ -139,7 +140,12 @@ def build_cfg(args):
         "model": {"backbone": args.backbone, "neck": args.neck,
                   "head": "DBHead",
                   "pretrained_backbone_path": args.pretrained_backbone or "",
-                  "finetune_cp_path": ""},
+                  "finetune_cp_path": "",
+                  # pruned checkpoints carry a widths sidecar
+                  # (models/prune.py); apply it so eval/fine-tune builds
+                  # the matching narrow architecture
+                  "widths": (load_widths(args.checkpoint)
+                             if args.checkpoint else None)},
         "optimizer": {"lr": args.lr, "reduction": args.reduction},
         "lrs": ({"mode": "poly", "warmup_iters": 100,
                  # decay over the planned training horizon
@@ -338,6 +344,12 @@ def main(args=None):
         # (VERDICT r2 weak #4)
         with open(args.save_checkpoint + ".train_config.json", "w") as f:
             json.dump(train_config, f)
+        # a fine-tuned PRUNED model keeps its architecture widths
+        # (models/prune.py sidecar) so the new checkpoint reloads correctly
+        if cfg.model.widths:
+            from ..models.prune import save_widths
+
+            save_widths(args.save_checkpoint, dict(cfg.model.widths))
 
     if args.no_final_eval:
         results, eval_wall = {"skipped": True}, 0.0

@@ -31,23 +31,39 @@ class DBTextModel(nn.Module):
     head_name: str = "DBHead"
     inner_channels: int = 256
     dtype: Dtype = jnp.float32
+    # structured-pruning width overrides (models/prune.py); every field
+    # None = the unpruned architecture. backbone_hidden is a per-block
+    # tuple of conv1 widths; head_width pins the branch width so a pruned
+    # neck output does not implicitly shrink the head.
+    backbone_hidden: tuple | None = None
+    fpn_inner_quarter: int | None = None
+    fpn_out: int | None = None
+    head_width: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1:3]
         x = x.astype(self.dtype)
         template = BACKBONES[self.backbone_name](dtype=self.dtype)
-        backbone = type(template)(
-            **{f.name: getattr(template, f.name)
-               for f in template.__dataclass_fields__.values()
-               if f.name not in ("name", "parent")}, name="backbone")
+        fields = {f.name: getattr(template, f.name)
+                  for f in template.__dataclass_fields__.values()
+                  if f.name not in ("name", "parent")}
+        if self.backbone_hidden is not None:
+            fields["hidden_planes"] = self.backbone_hidden
+        backbone = type(template)(**fields, name="backbone")
         neck_cls = NECKS[self.neck_name]
         if self.neck_name == "FPN":
             neck = neck_cls(inner_channels=self.inner_channels,
+                            inner_quarter=self.fpn_inner_quarter,
+                            out_features=self.fpn_out,
                             dtype=self.dtype, name="segmentation_body")
         else:
             neck = neck_cls(dtype=self.dtype, name="segmentation_body")
-        head = HEADS[self.head_name](dtype=self.dtype,
+        head_kwargs = {}
+        if self.head_name in ("DBHead", "FusedDBHead") \
+                and self.head_width is not None:
+            head_kwargs["width"] = self.head_width
+        head = HEADS[self.head_name](dtype=self.dtype, **head_kwargs,
                                      name="segmentation_head")
 
         feats = backbone(x, train=train)

@@ -21,15 +21,20 @@ class FPN(nn.Module):
 
     inner_channels: int = 256
     dtype: Dtype = jnp.float32
+    # structured-pruning overrides (models/prune.py): width of the tied
+    # reduce/smooth add-chain (default inner_channels//4) and of the final
+    # output conv (default inner_channels)
+    inner_quarter: int | None = None
+    out_features: int | None = None
 
     @property
     def out_channels(self) -> int:
-        return self.inner_channels
+        return self.out_features or self.inner_channels
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         c2, c3, c4, c5 = feats
-        inner = self.inner_channels // 4
+        inner = self.inner_quarter or self.inner_channels // 4
 
         reduce = lambda name: ConvBnRelu(inner, kernel_size=1,
                                          dtype=self.dtype, name=name)
@@ -55,7 +60,8 @@ class FPN(nn.Module):
             resize_nearest(p5, size),
         ], axis=-1)
         # final conv + BN + relu (segmentation_body.py:56-62)
-        x = nn.Conv(self.inner_channels, (3, 3), padding=[(1, 1), (1, 1)],
+        x = nn.Conv(self.out_features or self.inner_channels, (3, 3),
+                    padding=[(1, 1), (1, 1)],
                     kernel_init=he_normal_torch(), dtype=self.dtype,
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

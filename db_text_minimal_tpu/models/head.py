@@ -32,17 +32,21 @@ def _bn_head(train: bool, name: str):
 class _Branch(nn.Module):
     first_conv_bias: bool
     dtype: Dtype = jnp.float32
+    # explicit branch width; defaults to in_channels//4. Set by pruned
+    # models so that shrinking the neck output does not implicitly shrink
+    # the (trained, unpruned) branch convs.
+    width: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c = x.shape[-1]
-        x = nn.Conv(c // 4, (3, 3), padding=[(1, 1), (1, 1)],
+        w = self.width or x.shape[-1] // 4
+        x = nn.Conv(w, (3, 3), padding=[(1, 1), (1, 1)],
                     use_bias=self.first_conv_bias,
                     kernel_init=he_normal_torch(), dtype=self.dtype,
                     name="conv1")(x)
         x = _bn_head(train, "bn1")(x)
         x = nn.relu(x)
-        x = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2),
+        x = nn.ConvTranspose(w, (2, 2), strides=(2, 2),
                              kernel_init=he_normal_torch(), dtype=self.dtype,
                              name="deconv1")(x)
         x = _bn_head(train, "bn2")(x)
@@ -59,13 +63,16 @@ class DBHead(nn.Module):
 
     k: float = 50.0
     dtype: Dtype = jnp.float32
+    width: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         shrink_maps = _Branch(first_conv_bias=True, dtype=self.dtype,
-                              name="binarize")(x, train=train)
+                              width=self.width, name="binarize")(
+                                  x, train=train)
         threshold_maps = _Branch(first_conv_bias=False, dtype=self.dtype,
-                                 name="thresh")(x, train=train)
+                                 width=self.width, name="thresh")(
+                                     x, train=train)
         if train:
             # step_function (:106-108): differentiable binarization, as the
             # guaranteed-fused Pallas kernel on TPU (analytic VJP); plain
@@ -87,11 +94,13 @@ class FusedDBHead(nn.Module):
 
     k: float = 50.0
     dtype: Dtype = jnp.float32
+    width: int | None = None  # per-branch width; conv1 runs at 2× this
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert not train, "FusedDBHead is an inference-only optimization"
-        h = nn.Conv(x.shape[-1] // 2, (3, 3), padding=[(1, 1), (1, 1)],
+        h = nn.Conv((self.width * 2) if self.width else x.shape[-1] // 2,
+                    (3, 3), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=True, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn1")(h)

@@ -39,7 +39,11 @@ def _conv(features: int, kernel: int, stride: int = 1, name: str = "conv",
 
 
 class BasicBlock(nn.Module):
-    """``src/modules/resnet.py:37-91`` (expansion = 1)."""
+    """``src/modules/resnet.py:37-91`` (expansion = 1).
+
+    ``hidden_planes`` overrides conv1's output width — the block-internal
+    channels are free of residual-chain ties, so structured pruning
+    (``models/prune.py``) physically shrinks them."""
 
     planes: int
     stride: int = 1
@@ -47,11 +51,13 @@ class BasicBlock(nn.Module):
     with_dcn: bool = False
     dtype: Dtype = jnp.float32
     expansion: int = 1
+    hidden_planes: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = _conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
+        hidden = self.hidden_planes or self.planes
+        out = _conv(hidden, 3, self.stride, "conv1", self.dtype)(x)
         out = _bn(train, "bn1")(out)
         out = nn.relu(out)
         if self.with_dcn:
@@ -106,6 +112,10 @@ class ResNet(nn.Module):
     layers: Sequence[int]
     dcn: bool = False
     dtype: Dtype = jnp.float32
+    # per-block conv1 widths (len == sum(layers)), in creation order
+    # layer1_0, layer1_1, ..., layer4_N — None entries keep the default.
+    # BasicBlock only (Bottleneck pruning not implemented).
+    hidden_planes: Sequence[int] | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -118,6 +128,7 @@ class ResNet(nn.Module):
 
         feats = []
         in_planes = 64
+        block_idx = 0
         for stage, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.layers)):
             stride = 1 if stage == 0 else 2
@@ -128,10 +139,17 @@ class ResNet(nn.Module):
                 downsample = (b == 0 and
                               (s != 1 or in_planes != planes *
                                self.block.expansion))
+                kwargs = {}
+                if (self.hidden_planes is not None
+                        and self.block is BasicBlock
+                        and self.hidden_planes[block_idx]):
+                    kwargs["hidden_planes"] = self.hidden_planes[block_idx]
                 x = self.block(planes=planes, stride=s, downsample=downsample,
                                with_dcn=use_dcn, dtype=self.dtype,
-                               name=f"layer{stage + 1}_{b}")(x, train=train)
+                               name=f"layer{stage + 1}_{b}", **kwargs)(
+                                   x, train=train)
                 in_planes = planes * self.block.expansion
+                block_idx += 1
             feats.append(x)
         return tuple(feats)  # c2, c3, c4, c5
 

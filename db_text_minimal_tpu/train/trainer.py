@@ -197,11 +197,16 @@ class Trainer:
         dtype = jnp.bfloat16 if (
             cfg.parallel and cfg.parallel.compute_dtype == "bfloat16"
             and jax.default_backend() == "tpu") else jnp.float32
+        from ..models.prune import widths_to_model_kwargs
+
         self.model = DBTextModel(
             backbone_name=cfg.model.backbone or "resnet18",
             neck_name=cfg.model.neck or "FPN",
             head_name=cfg.model.head or "DBHead",
-            dtype=dtype)
+            dtype=dtype,
+            # structured-pruning widths (models/prune.py sidecar), set by
+            # quality_bench/cli.train when resuming a pruned checkpoint
+            **widths_to_model_kwargs(cfg.model.widths))
         self.tx = make_optimizer(cfg)
         self.train_loader = train_loader
         self.test_loader = test_loader
@@ -276,10 +281,22 @@ class Trainer:
         from .checkpoints import restore_checkpoint
 
         template = jax.device_get(self.init_state(image_size, batch_size))
-        restored = restore_checkpoint(
-            checkpoint_path,
-            {"params": template.params, "batch_stats": template.batch_stats,
-             "opt_state": template.opt_state, "step": template.step})
+        try:
+            restored = restore_checkpoint(
+                checkpoint_path,
+                {"params": template.params,
+                 "batch_stats": template.batch_stats,
+                 "opt_state": template.opt_state, "step": template.step})
+        except ValueError:
+            # params-only checkpoint (e.g. cli.prune output): restore the
+            # model and start the optimizer fresh — stale moments would be
+            # wrong for pruned/rewritten weights anyway
+            restored = restore_checkpoint(
+                checkpoint_path,
+                {"params": template.params,
+                 "batch_stats": template.batch_stats})
+            restored["opt_state"] = self.tx.init(restored["params"])
+            restored["step"] = jnp.zeros((), jnp.int32)
         state = TrainState(**restored)
         self.global_step = int(state.step)
         return replicate_state(state, self.mesh)
