@@ -163,6 +163,34 @@ def test_prune_cli_end_to_end(tmp_path):
     assert y.shape == (1, 64, 64, 2)
 
 
+def test_pruned_model_composes_with_folded_and_int8_paths():
+    """The production serving rewrites (BN folding, selective int8) are
+    shape-generic and must keep working on pruned variables; the
+    non-quantized folded forward stays weight-equivalent."""
+    from db_text_minimal_tpu.models.head import fuse_variables
+    from db_text_minimal_tpu.models.quant_infer import (
+        prepare_quant_params, quant_dbnet_forward)
+
+    model, variables = _init()
+    pruned, widths = prune_dbnet_variables(
+        _tree_np(variables), backbone_keep=0.5, fpn_inner_keep=0.75,
+        fpn_out_keep=0.5)
+    kw = widths_to_model_kwargs(widths)
+    fused = fuse_variables(pruned)
+    y_flax = np.asarray(
+        DBTextModel(head_name="FusedDBHead", **kw).apply(fused, X,
+                                                         train=False))
+    # folded, no quantization: weight-exact rewrite
+    qv = prepare_quant_params(fused, skip=(), min_out_channels=10 ** 9)
+    y_folded = np.asarray(quant_dbnet_forward(qv, X))
+    np.testing.assert_allclose(y_folded, y_flax, atol=2e-4)
+    # int8 of the still-wide convs: runs and stays in range
+    qv8 = prepare_quant_params(fused, skip=(), min_out_channels=128)
+    y8 = np.asarray(quant_dbnet_forward(qv8, X))
+    assert y8.shape == y_flax.shape
+    assert np.all(y8 >= 0) and np.all(y8 <= 1)
+
+
 def test_dcn_blocks_left_unpruned():
     m = DBTextModel(backbone_name="deformable_resnet18")
     v = m.init(RNG, jnp.zeros((1, 64, 64, 3)), train=False)
