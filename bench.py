@@ -187,7 +187,18 @@ def bench_production(batch_size: int, steps: int = 20, size: int = 640,
 
 def main():
     wait_for_exclusive_tpu()
-    n_chips = jax.device_count()
+    try:
+        n_chips = jax.device_count()
+    except Exception as e:
+        # total backend failure (tunnel outage outlasted the wait budget):
+        # still emit the one JSON line, honestly zeroed, rather than dying
+        # without a record
+        print(json.dumps({
+            "metric": "db_resnet18_inference_640",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {type(e).__name__}",
+        }))
+        return
     best = 0.0
     # batch 32 is the measured sweet spot (64 is slightly slower; see
     # docs/PERFORMANCE.md) — one batch size keeps the bench to one compile
