@@ -50,6 +50,16 @@ def main(args=None):
     if args.epochs is not None:
         overrides.setdefault("hps", {})["no_epochs"] = args.epochs
     cfg = load_config(args.config, overrides)
+    # pruned checkpoints (cli.prune) carry a .widths.json sidecar — build
+    # the matching narrow architecture when resuming/fine-tuning one
+    for ckpt in (args.resume, cfg.model.finetune_cp_path):
+        if ckpt:
+            from ..models.prune import load_widths
+
+            widths = load_widths(ckpt)
+            if widths:
+                cfg["model"]["widths"] = widths
+                break
 
     root = cfg.meta.root_dir or "."
     log_dir = os.path.join(root, cfg.logging.log_dir or "logs",
