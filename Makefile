@@ -16,6 +16,7 @@ box_thresh := 0.50
 unclip_ratio := 1.5
 
 model_path := $(cwd)/models/best_cp.ckpt
+pruned_path := $(cwd)/models/best_cp_pruned.ckpt
 rec_model_path := $(cwd)/models/rec.ckpt
 img_path := $(cwd)/assets/foo.jpg
 save_dir := $(cwd)/assets
@@ -23,7 +24,7 @@ save_dir := $(cwd)/assets
 .PHONY: lint test train export test-heatmap test-poly test-rect test-all \
 	make-eval ioueval deteval serve serve-stop serve-request bench \
 	synthetic test-pp test-folder test-webcam test-video \
-	hard-bench quality-bench pretrain-backbone tpu-gate train-rec rec-bench
+	hard-bench quality-bench pretrain-backbone tpu-gate train-rec rec-bench prune
 
 lint:
 	python -m compileall -q db_text_minimal_tpu
@@ -129,6 +130,12 @@ bench:
 # real-chip Pallas kernel gate; appends a pass record to demo/tpu_gate.json
 tpu-gate:
 	python tpu_gate.py
+
+# structured channel pruning (reference TODO): emits <out>.widths.json
+prune:
+	python -m db_text_minimal_tpu.cli.prune \
+		--checkpoint $(model_path) --out $(pruned_path) \
+		--backbone_keep 0.5 --fpn_inner_keep 0.75 --fpn_out_keep 0.5
 
 # train the in-tree recognizer on exported word crops (labels.txt format)
 train-rec:
