@@ -45,6 +45,8 @@ def main():
                     help="optimizer steps to run between the two evals")
     ap.add_argument("--limit_test", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--img_size", type=int, default=640,
+                    help="override for small/CPU repro attempts")
     ap.add_argument("--dump_root", default="/tmp/inproc_dumps")
     ap.add_argument("--out", default="demo/hard_bench/diag_inproc.json")
     opt = ap.parse_args()
@@ -57,6 +59,8 @@ def main():
     args = load_args(["--data_dir", opt.data_dir, "--eval_only",
                       "--checkpoint", opt.checkpoint,
                       "--batch_size", str(opt.batch_size),
+                      "--test_batch_size", str(opt.batch_size),
+                      "--img_size", str(opt.img_size),
                       "--out", opt.out])
     cfg = build_cfg(args)
     train_ds = build_dataset(cfg, is_training=True)
