@@ -513,3 +513,52 @@ def test_make_eval_folded_infer_mode_matches_flax(trained, tmp_path):
             if best > 0.8:
                 matched += 1
     assert total >= 1 and matched == total
+
+
+def test_rest_server_query_mode_parsing():
+    """Response mode comes from a parsed ``mode`` query param — an unrelated
+    param whose VALUE contains the substring 'mode=boxes' (e.g.
+    ``?note=xmode=boxes``) must not flip the mode (ADVICE r2)."""
+    from db_text_minimal_tpu.serve import make_server
+
+    seen = []
+
+    class FakeHandler:
+        initialized = True
+
+        def handle(self, request, mode="masks"):
+            seen.append(mode)
+            return [{"ok": True} for _ in request]
+
+    server = make_server("unused", port=0, model_name="dbtext",
+                         handler=FakeHandler())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        for query, expect in [("?mode=boxes&foo=1", "boxes"),
+                              ("?note=xmode=boxes", "masks"),
+                              ("?mode=masks_png", "masks_png"),
+                              ("?mode=bogus", "masks"),
+                              ("", "masks")]:
+            req = urllib.request.Request(
+                f"http://localhost:{port}/predictions/dbtext{query}",
+                data=b"img", method="POST")
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert json.loads(r.read()) == {"ok": True}
+            assert seen[-1] == expect
+    finally:
+        server.shutdown()
+
+
+def test_handler_prob_only_rejects_masks_modes():
+    """A --prob_only export has no thresh channel; masks/masks_png must be
+    rejected with a clear error instead of an IndexError deep in
+    postprocess (ADVICE r2)."""
+    from db_text_minimal_tpu.serve.handler import DBTextDetectionHandler
+
+    handler = DBTextDetectionHandler(forward=lambda x: x)
+    handler._prob_only = True
+    for mode in ("masks", "masks_png"):
+        with pytest.raises(ValueError, match="prob_only"):
+            handler.handle([{"body": b""}], mode=mode)
