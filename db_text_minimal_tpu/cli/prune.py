@@ -64,7 +64,8 @@ def load_args(argv=None):
 
 def main(args=None):
     args = args or load_args()
-    from ..models.prune import prune_dbnet_variables, save_widths
+    from ..models.prune import (load_widths, prune_dbnet_variables,
+                                save_widths)
     from ..train.checkpoints import load_params_any, save_checkpoint
 
     variables = jax.device_get(load_params_any(args.checkpoint))
@@ -73,6 +74,17 @@ def main(args=None):
         backbone_keep=args.backbone_keep,
         fpn_inner_keep=args.fpn_inner_keep,
         fpn_out_keep=args.fpn_out_keep)
+    # re-pruning an already-pruned checkpoint: carry forward the source
+    # sidecar's widths for any group this pass left untouched (per-block
+    # for the backbone list, where 0 means "default width")
+    old = load_widths(args.checkpoint) or {}
+    if old:
+        merged = {**old, **widths}
+        if old.get("backbone_hidden") and widths.get("backbone_hidden"):
+            merged["backbone_hidden"] = [
+                n or o for n, o in zip(widths["backbone_hidden"],
+                                       old["backbone_hidden"])]
+        widths = merged
 
     n_full = sum(x.size for x in jax.tree.leaves(variables["params"]))
     n_pruned = sum(x.size for x in jax.tree.leaves(pruned["params"]))

@@ -50,9 +50,12 @@ def main(args=None):
     if args.epochs is not None:
         overrides.setdefault("hps", {})["no_epochs"] = args.epochs
     cfg = load_config(args.config, overrides)
+    root = cfg.meta.root_dir or "."
     # pruned checkpoints (cli.prune) carry a .widths.json sidecar — build
-    # the matching narrow architecture when resuming/fine-tuning one
-    for ckpt in (args.resume, cfg.model.finetune_cp_path):
+    # the matching narrow architecture when resuming/fine-tuning one (the
+    # finetune path is root_dir-relative, matching Trainer.init_state)
+    ft = cfg.model.finetune_cp_path
+    for ckpt in (args.resume, os.path.join(root, str(ft)) if ft else None):
         if ckpt:
             from ..models.prune import load_widths
 
@@ -61,7 +64,6 @@ def main(args=None):
                 cfg["model"]["widths"] = widths
                 break
 
-    root = cfg.meta.root_dir or "."
     log_dir = os.path.join(root, cfg.logging.log_dir or "logs",
                            str(int(time.time())))
     os.makedirs(log_dir, exist_ok=True)

@@ -93,13 +93,24 @@ class CheckpointPolicy:
     """The reference's three-checkpoint policy (``src/train.py:288-318``)."""
 
     def __init__(self, root_dir: str, best_cp_path: str, last_cp_path: str,
-                 best_hmean_cp_path: str):
+                 best_hmean_cp_path: str, widths: dict | None = None):
         self.best_cp_path = os.path.join(root_dir, best_cp_path)
         self.last_cp_path = os.path.join(root_dir, last_cp_path)
         self.best_hmean_cp_path = os.path.join(root_dir, best_hmean_cp_path)
         self.best_test_loss = np.inf
         self.best_train_loss = np.inf
         self.best_hmean = 0.0
+        # pruned-architecture widths (models/prune.py): every checkpoint this
+        # policy writes needs the sidecar or later loaders build the
+        # default-width model against narrow params
+        self.widths = dict(widths) if widths else None
+
+    def _save(self, path: str, state, meta) -> None:
+        save_checkpoint(path, state, meta)
+        if self.widths:
+            from ..models.prune import save_widths
+
+            save_widths(path, self.widths)
 
     def on_epoch_end(self, state, *, train_loss: float, test_loss: float,
                      hmean: float, epoch: int) -> list[str]:
@@ -108,16 +119,16 @@ class CheckpointPolicy:
                 "test_loss": test_loss, "hmean": hmean}
         if hmean >= self.best_hmean:                 # train.py:288-292
             self.best_hmean = hmean
-            save_checkpoint(self.best_hmean_cp_path, state, meta)
+            self._save(self.best_hmean_cp_path, state, meta)
             saved.append(self.best_hmean_cp_path)
         if (test_loss <= self.best_test_loss
                 and train_loss <= self.best_train_loss):  # train.py:304-308
             self.best_test_loss = test_loss
             self.best_train_loss = train_loss
-            save_checkpoint(self.best_cp_path, state, meta)
+            self._save(self.best_cp_path, state, meta)
             saved.append(self.best_cp_path)
         return saved
 
     def on_train_end(self, state, epoch: int) -> str:   # train.py:317-318
-        save_checkpoint(self.last_cp_path, state, {"epoch": epoch})
+        self._save(self.last_cp_path, state, {"epoch": epoch})
         return self.last_cp_path

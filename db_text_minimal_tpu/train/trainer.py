@@ -261,10 +261,16 @@ class Trainer:
                                               str(ft))):
             path = os.path.join(self.cfg.meta.root_dir or ".", str(ft))
             self.logger.info("Loading finetune checkpoint: %s", path)
-            loaded = load_params_any(
-                path, {"params": params, "batch_stats": batch_stats,
-                       "opt_state": self.tx.init(params),
-                       "step": jnp.zeros((), jnp.int32)})
+            try:
+                loaded = load_params_any(
+                    path, {"params": params, "batch_stats": batch_stats,
+                           "opt_state": self.tx.init(params),
+                           "step": jnp.zeros((), jnp.int32)})
+            except ValueError:
+                # params-only checkpoint (e.g. cli.prune output) — same
+                # fallback as resume_state
+                loaded = load_params_any(
+                    path, {"params": params, "batch_stats": batch_stats})
             params = loaded["params"]
             batch_stats = loaded["batch_stats"]
         state = TrainState(params=params, batch_stats=batch_stats,
@@ -480,7 +486,8 @@ class Trainer:
         policy = CheckpointPolicy(cfg.meta.root_dir or ".",
                                   cfg.model.best_cp_path,
                                   cfg.model.last_cp_path,
-                                  cfg.model.best_hmean_cp_path)
+                                  cfg.model.best_hmean_cp_path,
+                                  widths=cfg.model.widths)
         history = []
         for epoch in range(epochs):
             state, train_loss, _, last = self.train_epoch(state, epoch)

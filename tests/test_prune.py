@@ -199,3 +199,33 @@ def test_dcn_blocks_left_unpruned():
     # layer1 blocks (no DCN) prune; layer2..4 blocks (DeformConv conv2) skip
     assert hidden[0] == 32 and hidden[1] == 32
     assert all(h == 0 for h in hidden[2:])
+
+
+def test_reprune_merges_widths_sidecar(tmp_path):
+    """Pruning an already-pruned checkpoint must carry forward the source
+    sidecar's widths for groups the second pass leaves untouched — a
+    pass-2 sidecar missing pass-1's backbone widths makes the checkpoint
+    unloadable (round-3 code-review finding)."""
+    from db_text_minimal_tpu.cli import prune as prune_cli
+    from db_text_minimal_tpu.cli.common import load_model
+    from db_text_minimal_tpu.train.checkpoints import save_checkpoint
+
+    model, variables = _init()
+    src = str(tmp_path / "full.ckpt")
+    save_checkpoint(src, {"params": variables["params"],
+                          "batch_stats": variables["batch_stats"]})
+    out1 = str(tmp_path / "p1.ckpt")
+    prune_cli.main(prune_cli.load_args(
+        ["--checkpoint", src, "--out", out1, "--backbone_keep", "0.5"]))
+    out2 = str(tmp_path / "p2.ckpt")
+    prune_cli.main(prune_cli.load_args(
+        ["--checkpoint", out1, "--out", out2, "--fpn_out_keep", "0.5"]))
+
+    w1, w2 = load_widths(out1), load_widths(out2)
+    assert w2["backbone_hidden"] == w1["backbone_hidden"]
+    assert w2["fpn_out"] and w2["head_width"]
+
+    m2, v2 = load_model(out2)
+    y = m2.apply({"params": v2["params"],
+                  "batch_stats": v2["batch_stats"]}, X, train=False)
+    assert y.shape == (1, 64, 64, 2)

@@ -257,3 +257,55 @@ def test_in_train_eval_host_representer_default(synth, tmp_path,
     used.clear()
     trainer.eval_epoch(state)
     assert used == ["device"]
+
+
+@pytest.mark.slow
+def test_cli_train_finetunes_pruned_checkpoint_with_sidecars(synth, tmp_path):
+    """cli.train end-to-end on a cli.prune-style checkpoint: the
+    root_dir-relative widths-sidecar lookup builds the narrow model, the
+    params-only checkpoint loads into init_state (optimizer starts fresh),
+    and every checkpoint the run writes carries its own .widths.json
+    (round-3 code-review findings)."""
+    import yaml
+
+    from db_text_minimal_tpu.cli import train as train_cli
+    from db_text_minimal_tpu.models.prune import (load_widths,
+                                                  prune_dbnet_variables,
+                                                  save_widths)
+
+    d, section = synth
+    cfg = _small_cfg(tmp_path, section)
+    trainer = Trainer(cfg, *_loaders(d, cfg))
+    host = jax.device_get(trainer.init_state())
+    pruned, widths = prune_dbnet_variables(
+        {"params": host.params, "batch_stats": host.batch_stats},
+        backbone_keep=0.5, fpn_out_keep=0.5)
+    os.makedirs(tmp_path / "models", exist_ok=True)
+    ckpt = str(tmp_path / "models" / "pruned.ckpt")
+    save_checkpoint(ckpt, pruned)          # params-only: no opt_state/step
+    save_widths(ckpt, widths)
+
+    cfg_file = str(tmp_path / "cfg.yaml")
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump({
+            "meta": {"root_dir": str(tmp_path)},
+            "hps": {"img_size": 128, "batch_size": 2, "test_batch_size": 1,
+                    "no_epochs": 1, "log_iter": 1},
+            "data": {"synthetic": dict(section)},
+            "dataset": {"name": "synthetic"},
+            "model": {"finetune_cp_path": "models/pruned.ckpt"},
+            "logging": {"logger_file": None},
+        }, f)
+    state, history = train_cli.main(
+        train_cli.load_args(["--config", cfg_file, "--epochs", "1"]))
+    assert len(history) == 1
+
+    # the narrow architecture was really built and trained
+    p = jax.device_get(state).params
+    assert (p["segmentation_body"]["conv"]["kernel"].shape[-1]
+            == widths["fpn_out"])
+    # every checkpoint the policy wrote carries the widths sidecar
+    for name in ("best_cp.ckpt", "last_cp.ckpt", "best_hmean_cp.ckpt"):
+        path = str(tmp_path / "models" / name)
+        assert os.path.exists(path), name
+        assert load_widths(path) == widths, name
