@@ -1,6 +1,7 @@
 """Recognition training tests: CTC and attention losses decrease on a tiny
 synthetic glyph dataset (rendered digits)."""
 
+import json
 import os
 
 import numpy as np
@@ -198,3 +199,36 @@ def test_warp_crop_nonquad_orientation():
         crop_poly = _warp_crop(img, poly8)
         diff = np.abs(crop_quad.astype(float) - crop_poly.astype(float))
         assert diff.mean() < 3.0, (angle_deg, diff.mean())
+
+
+@pytest.mark.slow
+def test_rec_bench_rec_mode_end_to_end(tmp_path):
+    """The committed-metrics path (VERDICT r2 ask #10) as one flow:
+    glyph dataset -> export_word_crops -> train_rec -> rec_bench --mode rec
+    writes a well-formed word-accuracy report over the held-out split."""
+    from db_text_minimal_tpu.cli import rec_bench, train_rec
+    from db_text_minimal_tpu.data.synthetic import (export_word_crops,
+                                                    generate_glyphs)
+
+    section = generate_glyphs(str(tmp_path / "glyph"), n_train=4, n_test=2,
+                              size=256)
+    crop_dir = str(tmp_path / "crops")
+    export_word_crops(section, crop_dir, jitter_copies=1)
+
+    small = ["--FeatureExtraction", "VGG", "--SequenceModeling", "None",
+             "--Prediction", "CTC", "--output_channel", "128",
+             "--hidden_size", "64"]
+    ckpt = str(tmp_path / "rec.ckpt")
+    train_rec.main(train_rec.load_args(
+        ["--crop_dir", crop_dir, "--out", ckpt, "--epochs", "1",
+         "--batch_size", "8"] + small))
+
+    out = str(tmp_path / "rec_acc.json")
+    report = rec_bench.main(rec_bench.load_args(
+        ["--mode", "rec", "--data_dir", str(tmp_path / "glyph"),
+         "--saved_model", ckpt, "--out", out] + small))
+    assert report["total"] > 0
+    assert 0.0 <= report["word_accuracy"] <= 1.0
+    assert report["correct"] <= report["total"]
+    with open(out) as f:
+        assert json.load(f)["mode"] == "rec"
