@@ -232,3 +232,44 @@ def test_rec_bench_rec_mode_end_to_end(tmp_path):
     assert report["correct"] <= report["total"]
     with open(out) as f:
         assert json.load(f)["mode"] == "rec"
+
+
+@pytest.mark.slow
+def test_rec_bench_e2e_mode_end_to_end(tmp_path):
+    """--mode e2e: detect -> warp -> recognize -> IoU-matched P/R/F report
+    over the glyph test split (detector is an init checkpoint — the flow
+    and report shape are the assertion, not quality)."""
+    from db_text_minimal_tpu.cli import rec_bench, train_rec
+    from db_text_minimal_tpu.data.synthetic import (export_word_crops,
+                                                    generate_glyphs)
+    from db_text_minimal_tpu.models import DBTextModel
+    from db_text_minimal_tpu.train.checkpoints import save_checkpoint
+
+    section = generate_glyphs(str(tmp_path / "glyph"), n_train=2, n_test=2,
+                              size=256)
+    crop_dir = str(tmp_path / "crops")
+    export_word_crops(section, crop_dir, jitter_copies=1)
+    small = ["--FeatureExtraction", "VGG", "--SequenceModeling", "None",
+             "--Prediction", "CTC", "--output_channel", "128",
+             "--hidden_size", "64"]
+    rec_ckpt = str(tmp_path / "rec.ckpt")
+    train_rec.main(train_rec.load_args(
+        ["--crop_dir", crop_dir, "--out", rec_ckpt, "--epochs", "1",
+         "--batch_size", "8"] + small))
+
+    det = DBTextModel()
+    v = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)),
+                 train=False)
+    det_ckpt = str(tmp_path / "det.ckpt")
+    save_checkpoint(det_ckpt, {"params": v["params"],
+                               "batch_stats": v["batch_stats"]})
+
+    out = str(tmp_path / "e2e.json")
+    report = rec_bench.main(rec_bench.load_args(
+        ["--mode", "e2e", "--data_dir", str(tmp_path / "glyph"),
+         "--saved_model", rec_ckpt, "--det_model_path", det_ckpt,
+         "--out", out] + small))
+    assert report["n_images"] == 2 and report["n_gt_words"] > 0
+    for k in ("det_precision", "det_recall", "det_hmean",
+              "e2e_precision", "e2e_recall", "e2e_hmean"):
+        assert 0.0 <= report[k] <= 1.0
