@@ -48,5 +48,46 @@ def test_other_tpu_pids_ignores_pytest_and_ancestors():
 def test_wait_is_noop_on_cpu():
     b = _load_bench()
     t0 = time.time()
-    b.wait_for_exclusive_tpu()
+    assert b.wait_for_exclusive_tpu() == ""
     assert time.time() - t0 < 1.0
+
+
+def test_wait_budget_is_capped_under_driver_timeout():
+    # Round-3 regression: a 3900s wait budget outlived the driver's bench
+    # timeout, so the driver recorded rc=124 and NO number. The combined
+    # budget must stay well under it (VERDICT r3 ask #1).
+    b = _load_bench()
+    assert b._WAIT_BUDGET_S <= 480
+    assert b._HARD_DEADLINE_S <= 1500
+
+
+def test_degraded_line_annotates_last_known_good(tmp_path, monkeypatch):
+    b = _load_bench()
+    import json
+    good = {"metric": "db_resnet18_inference_640", "value": 761.8,
+            "vs_baseline": 6.09, "production_int8_prob_only": 963.0,
+            "production_vs_baseline": 7.7,
+            "recorded_at": "2026-08-17T00:00:00"}
+    p = tmp_path / "lastgood.json"
+    p.write_text(json.dumps(good))
+    monkeypatch.setattr(b, "_LASTGOOD_PATH", str(p))
+    line = b._degraded_line("tunnel outage")
+    assert line["degraded"] == "tunnel outage"
+    assert line["value"] == 761.8
+    assert line["production_int8_prob_only"] == 963.0
+    assert line["last_known_good_from"] == "2026-08-17T00:00:00"
+    # without a cache file the line is honestly zeroed
+    monkeypatch.setattr(b, "_LASTGOOD_PATH", str(tmp_path / "missing.json"))
+    line = b._degraded_line("tunnel outage")
+    assert line["value"] == 0.0 and "last_known_good_from" not in line
+
+
+def test_wait_reports_busy_chip_instead_of_blocking(monkeypatch):
+    # A workload that outlives the budget must yield a reason string (the
+    # caller emits the degraded line) rather than measuring concurrently.
+    b = _load_bench()
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    monkeypatch.setattr(
+        b, "_other_tpu_pids", lambda: [(99999, "python cli.quality_bench")])
+    reason = b.wait_for_exclusive_tpu(max_wait_s=0.0)
+    assert "holding the chip" in reason
