@@ -48,17 +48,30 @@ def conv_weight_macs(params: dict) -> float:
     return total
 
 
+def _keep_arg(s: str):
+    """Keep spec: values in (0, 1] are kept FRACTIONS, values > 1 are
+    ABSOLUTE channel counts (forwarded as int — a bare float coercion
+    would silently strand prune_dbnet_variables' int path)."""
+    v = float(s)
+    if v > 1:
+        return int(round(v))
+    return v
+
+
 def load_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--backbone_keep", type=float, default=1.0,
-                   help="kept fraction of each BasicBlock's internal "
-                        "conv1 channels (1.0 = no pruning)")
-    p.add_argument("--fpn_inner_keep", type=float, default=1.0,
-                   help="kept fraction of the tied FPN reduce/smooth width")
-    p.add_argument("--fpn_out_keep", type=float, default=1.0,
-                   help="kept fraction of the FPN output (= head input)")
+    p.add_argument("--backbone_keep", type=_keep_arg, default=1.0,
+                   help="kept fraction (<=1) or absolute channel count (>1) "
+                        "of each BasicBlock's internal conv1 channels "
+                        "(1.0 = no pruning)")
+    p.add_argument("--fpn_inner_keep", type=_keep_arg, default=1.0,
+                   help="kept fraction (<=1) or count (>1) of the tied FPN "
+                        "reduce/smooth width")
+    p.add_argument("--fpn_out_keep", type=_keep_arg, default=1.0,
+                   help="kept fraction (<=1) or count (>1) of the FPN "
+                        "output (= head input)")
     return p.parse_args(argv)
 
 

@@ -231,7 +231,10 @@ def full_eval(trainer, state, test_loader, args, forward=None):
         if not warmed:
             # untimed warm-up: first-call jit compiles through the tunnel
             # (tens of seconds) would otherwise be charged to whichever
-            # representer runs first (VERDICT r2 weak #3)
+            # representer runs first (VERDICT r2 weak #3). The warm
+            # forward's result is REUSED as the measured pass's forward
+            # below — re-uploading + re-running the first batch would
+            # double its device work on the upload-bound link for nothing.
             wb = shard_batch(array_batch(batch), trainer.mesh)
             wp = forward(wb)
             wshape = {"shape": [(size, size)] * wp.shape[0]}
@@ -240,8 +243,10 @@ def full_eval(trainer, state, test_loader, args, forward=None):
                     wp if rname.startswith("device") else np.asarray(wp),
                     is_output_polygon=is_poly)
             warmed = True
-        device_batch = shard_batch(array_batch(batch), trainer.mesh)
-        preds = forward(device_batch)
+            preds = wp
+        else:
+            device_batch = shard_batch(array_batch(batch), trainer.mesh)
+            preds = forward(device_batch)
         # materialize the host copy ONCE, untimed: the D2H transfer
         # (~50 s/400 images through the tunnel) otherwise lands entirely
         # on whichever host representer runs first, making per-path wall

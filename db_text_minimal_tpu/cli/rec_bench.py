@@ -176,7 +176,13 @@ def run_e2e(args):
         preds = det_fwd(det_vars, jnp.asarray(tmp))
         box_list, score_list = rep({"shape": [(h, w)]}, np.asarray(preds),
                                    is_output_polygon=False)
-        boxes = [b for b in box_list[0] if np.abs(np.asarray(b)).sum() > 0]
+        # confidence-sorted greedy matching: without the sort an early
+        # low-IoU box can claim a GT a later box overlaps better,
+        # nondeterministically deflating det/e2e P/R/F
+        scored = [(b, s) for b, s in zip(box_list[0], score_list[0])
+                  if np.abs(np.asarray(b)).sum() > 0]
+        scored.sort(key=lambda bs: -float(bs[1]))
+        boxes = [b for b, _ in scored]
         gts = [(poly, _norm_text(text, args.character))
                for poly, text in words]
         # run_rec skips words that normalize to nothing; mirror that here

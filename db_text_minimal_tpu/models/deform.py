@@ -63,13 +63,18 @@ class DeformConv(nn.Module):
         n, h, w, c = x.shape
         oh = (h + self.stride - 1) // self.stride
         ow = (w + self.stride - 1) // self.stride
-        # offset conv: 18 channels, zero-init (resnet.py:204-208 constant_init 0)
+        # offset conv: 18 channels, zero-init (resnet.py:204-208 constant_init
+        # 0). ALWAYS f32, even when the block computes in bf16: offsets are
+        # sampling COORDINATES — bf16's 8-bit mantissa quantizes them to
+        # ~1/128 px and adds rounding noise to their gradients, a divergence
+        # from the reference (torch keeps this branch f32) with negligible
+        # compute to save (18 output channels).
         offsets = nn.Conv(18, (3, 3), strides=(self.stride, self.stride),
                           padding=[(1, 1), (1, 1)],
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros,
-                          dtype=self.dtype, name="offset_conv")(x)
-        offsets = offsets.astype(jnp.float32).reshape(n, oh, ow, 9, 2)
+                          dtype=jnp.float32, name="offset_conv")(x)
+        offsets = offsets.reshape(n, oh, ow, 9, 2)
 
         base_y = (jnp.arange(oh, dtype=jnp.float32) * self.stride)[None, :, None]
         base_x = (jnp.arange(ow, dtype=jnp.float32) * self.stride)[None, None, :]

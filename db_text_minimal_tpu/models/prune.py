@@ -47,6 +47,19 @@ def _folded_out_norms(conv: dict, bn_params: dict, bn_stats: dict):
     return norms * gamma / np.sqrt(var + BN_EPS)
 
 
+def _prunable(keep) -> bool:
+    """True when *keep* requests actual pruning. Floats are kept FRACTIONS
+    (``None``/``1.0`` = leave the group untouched); ints are ABSOLUTE
+    channel counts, so the int ``1`` means "keep exactly one channel" —
+    a plain ``keep not in (None, 1.0)`` guard would swallow it because
+    ``1 == 1.0``."""
+    if keep is None or isinstance(keep, bool):
+        return False
+    if isinstance(keep, int):
+        return True
+    return float(keep) != 1.0
+
+
 def _keep_indices(scores: np.ndarray, keep: float | int) -> np.ndarray:
     n = scores.shape[0]
     k = keep if isinstance(keep, int) else max(1, int(round(keep * n)))
@@ -95,7 +108,7 @@ def prune_dbnet_variables(variables: dict, *, backbone_keep: float = 1.0,
     hidden = []
     for name in block_names:
         blk_p, blk_s = bb_p[name], bb_s[name]
-        prunable = (backbone_keep not in (None, 1.0)
+        prunable = (_prunable(backbone_keep)
                     and "conv3" not in blk_p        # BasicBlock only
                     and _is_plain_conv(blk_p["conv2"]))  # skip DCN blocks
         if not prunable:
@@ -117,7 +130,7 @@ def prune_dbnet_variables(variables: dict, *, backbone_keep: float = 1.0,
     smooths = [f"smooth_p{i}" for i in (2, 3, 4)]
 
     # -- group 2: FPN inner add-chain (one tied keep-set) ------------------
-    if fpn_inner_keep not in (None, 1.0) and all(
+    if _prunable(fpn_inner_keep) and all(
             m in body_p for m in reduces + smooths):
         q = np.asarray(body_p[reduces[0]]["conv"]["kernel"]).shape[-1]
         scores = np.zeros(q, np.float64)
@@ -137,7 +150,7 @@ def prune_dbnet_variables(variables: dict, *, backbone_keep: float = 1.0,
         widths["fpn_inner_quarter"] = int(idx.shape[0])
 
     # -- group 3: FPN output (= head input) --------------------------------
-    if fpn_out_keep not in (None, 1.0) and "conv" in body_p:
+    if _prunable(fpn_out_keep) and "conv" in body_p:
         head_p = params["segmentation_head"]
         scores = _folded_out_norms(body_p["conv"], body_p["conv_bn"],
                                    body_s["conv_bn"])

@@ -27,13 +27,15 @@ import jax.numpy as jnp
 _INF = jnp.int32(2 ** 30)
 
 
-def _neighbor_min(label: jnp.ndarray) -> jnp.ndarray:
-    """Min over the 8-neighborhood (and self) of an (H, W) label map."""
+def _neighbor_min(label: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
+    """Min over the neighborhood (and self) of an (H, W) label map."""
     padded = jnp.pad(label, 1, constant_values=_INF)
     best = label
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
+                continue
+            if connectivity == 4 and dy != 0 and dx != 0:
                 continue
             h, w = label.shape
             shifted = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
@@ -58,11 +60,15 @@ def _segmented_min_scan(label: jnp.ndarray, mask: jnp.ndarray, axis: int,
     return jnp.where(mask, v, _INF)
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "connectivity"))
 def connected_components(bitmap: jnp.ndarray,
-                         num_iters: int = 64) -> jnp.ndarray:
-    """8-connected component labels of a binary (H, W) map. Background = -1;
-    each component is labeled by the linear index of its min pixel.
+                         num_iters: int = 64,
+                         connectivity: int = 8) -> jnp.ndarray:
+    """Connected component labels of a binary (H, W) map (8-connected by
+    default; ``connectivity=4`` drops the diagonal carries — used for the
+    BACKGROUND pass in ``_hole_stats``, where complement connectivity says
+    8-connected foreground pairs with 4-connected background). Background =
+    -1; each component is labeled by the linear index of its min pixel.
 
     Each round: one 8-neighbor min (VPU shifts, carries labels across
     diagonals) then four segmented directional min-scans (left/right/up/down)
@@ -83,8 +89,8 @@ def connected_components(bitmap: jnp.ndarray,
     label = jnp.where(mask, idx, _INF)
 
     def one_round(label):
-        label = jnp.minimum(label, jnp.where(mask, _neighbor_min(label),
-                                             _INF))
+        label = jnp.minimum(
+            label, jnp.where(mask, _neighbor_min(label, connectivity), _INF))
         for axis in (1, 0):
             for reverse in (False, True):
                 label = jnp.minimum(
@@ -384,8 +390,13 @@ def _hole_stats(bitmap, fg_keyed, flat_prob, h, w, max_components):
     score must include them too or the two paths disagree exactly at the
     ``box_thresh`` gate on components with interior holes (glyph counters,
     broken strokes)."""
+    # 4-connected bg labels (complement connectivity for 8-connected fg):
+    # with 8-connected bg, a hole sealed only by diagonal strokes leaks to
+    # the outside background, gets marked border-touching, and is dropped
+    # from the device score while the host's filled-outer-contour mean
+    # keeps it — a residual divergence exactly at the box_thresh gate.
     bg = bitmap == 0
-    bg_labels = connected_components(bg.astype(jnp.int32))
+    bg_labels = connected_components(bg.astype(jnp.int32), connectivity=4)
     bg_keyed, _ = _compact_slots(bg_labels.reshape(-1), max_components)
 
     # border-touching bg components are "outside", not holes

@@ -109,6 +109,15 @@ class DevicePolyRepresenter:
 
     def __init__(self, thresh=0.3, box_thresh=0.7, max_candidates=1000,
                  unclip_ratio=1.5, min_size=3):
+        if box_thresh <= thresh:
+            # dropping score-unmatched contours (hole borders) only matches
+            # the host when the box_thresh gate would reject them anyway —
+            # see the class docstring. Outside that regime the silent
+            # divergence is unacceptable; use the host representer.
+            raise ValueError(
+                f"DevicePolyRepresenter requires box_thresh > thresh "
+                f"(got box_thresh={box_thresh}, thresh={thresh}); use "
+                f"SegDetectorRepresenter for this configuration")
         self.thresh = thresh
         self.box_thresh = box_thresh
         self.max_candidates = max_candidates
