@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -293,8 +294,29 @@ def full_eval(trainer, state, test_loader, args, forward=None):
     return out
 
 
+def warn_ctw_polygon_operating_point(args) -> bool:
+    """CTW1500 line-level polygon eval COLLAPSES at the reference-default
+    unclip 1.5: measured DetEval F .27 vs .82 at 2.5 (docs/PERFORMANCE.md
+    §CTW — shrunk line-level kernels under-cover their GT lines, so every
+    match fails DetEval's coverage gate). The reference exposes the same
+    foot-gun silently (``src/postprocess.py:34`` default 1.5); here the
+    wrong operating point at least announces itself."""
+    if (getattr(args, "dataset_format", "") == "ctw1500"
+            and getattr(args, "polygon", False)
+            and args.unclip_ratio < 2.0):
+        print(
+            f"# WARNING: ctw1500 polygon mode at unclip_ratio="
+            f"{args.unclip_ratio} is a measured quality collapse "
+            f"(DetEval F .27 at 1.5 vs .82 at 2.5 on the CTW bench — "
+            f"docs/PERFORMANCE.md). Line-level polygon evals should run "
+            f"--unclip_ratio 2.5.", file=sys.stderr)
+        return True
+    return False
+
+
 def main(args=None):
     args = args or load_args()
+    warn_ctw_polygon_operating_point(args)
     cfg = build_cfg(args)
     train_ds = _limit(build_dataset(cfg, is_training=True), args.limit_train)
     test_ds = _limit(build_dataset(cfg, is_training=False), args.limit_test)

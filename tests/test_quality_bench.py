@@ -62,3 +62,22 @@ def test_checkpoint_saved_before_final_eval(tmp_path, monkeypatch):
         qb.main(args)
     assert os.path.exists(ckpt)
     assert os.path.exists(ckpt + ".train_config.json")
+
+
+def test_ctw_polygon_operating_point_warning(capsys):
+    """VERDICT r3 ask #8: CTW line-level polygon eval at unclip < 2.0 is a
+    measured collapse (F .27 vs .82) — the CLI must announce it."""
+    from db_text_minimal_tpu.cli.quality_bench import (
+        load_args, warn_ctw_polygon_operating_point)
+
+    base = ["--data_dir", "/nonexistent", "--out", "/tmp/x.json",
+            "--dataset_format", "ctw1500", "--polygon"]
+    assert warn_ctw_polygon_operating_point(load_args(base)) is True
+    assert "unclip_ratio 2.5" in capsys.readouterr().err
+
+    ok = warn_ctw_polygon_operating_point(
+        load_args(base + ["--unclip_ratio", "2.5"]))
+    assert ok is False
+    # rect mode / totaltext at the default stays silent
+    assert warn_ctw_polygon_operating_point(load_args(
+        ["--data_dir", "/n", "--out", "/tmp/x.json"])) is False
