@@ -273,3 +273,22 @@ def test_rec_bench_e2e_mode_end_to_end(tmp_path):
     for k in ("det_precision", "det_recall", "det_hmean",
               "e2e_precision", "e2e_recall", "e2e_hmean"):
         assert 0.0 <= report[k] <= 1.0
+
+
+def test_distort_crop_deterministic_and_material():
+    """Hard-split distortion (VERDICT r3 weak #4): the transform must be
+    reproducible per seed (every model variant sees the identical split)
+    and must materially change the crop (the clean split saturates)."""
+    import numpy as np
+
+    from db_text_minimal_tpu.cli.rec_bench import distort_crop
+
+    rng = np.random.default_rng(7)
+    crop = (rng.random((32, 100, 3)) * 255).astype(np.uint8)
+    a = distort_crop(crop, np.random.default_rng(42))
+    b = distort_crop(crop, np.random.default_rng(42))
+    c = distort_crop(crop, np.random.default_rng(43))
+    assert np.array_equal(a, b)
+    assert a.shape == crop.shape and a.dtype == np.uint8
+    assert np.abs(a.astype(float) - crop.astype(float)).mean() > 5.0
+    assert not np.array_equal(a, c)
