@@ -350,3 +350,37 @@ def test_device_score_nested_component_in_hole():
     assert ds[0][0] > 0.9, ds[0]
     center = np.asarray(db[0][0], float).mean(axis=0)
     np.testing.assert_allclose(center, [60, 60], atol=2.0)
+
+
+def test_hole_sealed_by_diagonal_strokes_counts_toward_device_score():
+    """Complement-connectivity fix (advisor r3): a hole enclosed only by
+    1-px DIAGONAL strokes is 8-connected to the outside background, so an
+    8-connected background pass marked it border-touching and excluded it
+    from the device score — while the host's filled-outer-contour mean
+    (``src/postprocess.py:186-198``) includes it. With the 4-connected
+    background pass the two agree."""
+    from db_text_minimal_tpu.ops.pallas.cc import device_poly_stats
+    import jax.numpy as jnp
+
+    pred = np.full((64, 64), 0.05, np.float32)
+    cy, cx, r = 32, 32, 12
+    for i in range(r + 1):  # 1-px diamond ring: pure diagonal steps
+        for sy, sx in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+            y, x = cy - r * sy + i * sy, cx + i * sx
+            pred[y, x] = 0.8
+    # interior of the diamond is the hole (below thresh)
+    assert pred[cy, cx] < 0.3
+
+    _, _, scores, valid = device_poly_stats(jnp.asarray(pred[None]),
+                                            thresh=0.3)
+    vals = np.asarray(scores)[0][np.asarray(valid)[0]]
+    assert len(vals) == 1
+    dev_score = float(vals[0])
+
+    rep = SegDetectorRepresenter(thresh=0.3, box_thresh=0.1)
+    contour = geo.find_contours((pred > 0.3).astype(np.uint8))[0]
+    host_score = rep.box_score_fast(pred, np.asarray(contour, np.float64))
+    # hole pixels (0.05) pull the mean far below the ring value (0.8);
+    # the device mean must include them like the host's filled contour
+    assert host_score < 0.5
+    assert abs(dev_score - host_score) < 2e-2
