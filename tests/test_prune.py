@@ -229,3 +229,27 @@ def test_reprune_merges_widths_sidecar(tmp_path):
     y = m2.apply({"params": v2["params"],
                   "batch_stats": v2["batch_stats"]}, X, train=False)
     assert y.shape == (1, 64, 64, 2)
+
+
+def test_prunable_guard_int_vs_float_semantics():
+    """Advisor r3: int keep-counts must not be swallowed by 1 == 1.0."""
+    from db_text_minimal_tpu.models.prune import _keep_indices, _prunable
+
+    assert _prunable(None) is False
+    assert _prunable(1.0) is False
+    assert _prunable(0.5) is True
+    assert _prunable(1) is True          # absolute count: keep ONE channel
+    assert _prunable(128) is True
+    assert _prunable(True) is False      # bools are not counts
+
+    scores = np.arange(8, dtype=np.float64)
+    assert _keep_indices(scores, 1).tolist() == [7]
+    assert _keep_indices(scores, 0.5).tolist() == [4, 5, 6, 7]
+
+
+def test_prune_cli_keep_arg_parses_counts_and_fractions():
+    from db_text_minimal_tpu.cli.prune import _keep_arg
+
+    assert _keep_arg("0.5") == 0.5
+    assert _keep_arg("1") == 1.0 and isinstance(_keep_arg("1"), float)
+    assert _keep_arg("128") == 128 and isinstance(_keep_arg("128"), int)
