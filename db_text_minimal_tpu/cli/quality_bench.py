@@ -72,6 +72,9 @@ def load_args(argv=None):
                         help="skip the end-of-run eval (intermediate "
                              "segments of a chunked run)")
     parser.add_argument("--pretrained_backbone", type=str, default=None)
+    parser.add_argument("--dcn_offset_lr_mult", type=float, default=1.0,
+                        help="deformable backbones: LR multiplier for the "
+                             "DCN offset branch (1.0 = reference parity)")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="warm start / eval_only weights")
     parser.add_argument("--eval_only", action="store_true")
@@ -147,7 +150,8 @@ def build_cfg(args):
                   # the matching narrow architecture
                   "widths": (load_widths(args.checkpoint)
                              if args.checkpoint else None)},
-        "optimizer": {"lr": args.lr, "reduction": args.reduction},
+        "optimizer": {"lr": args.lr, "reduction": args.reduction,
+                      "dcn_offset_lr_mult": args.dcn_offset_lr_mult},
         "lrs": ({"mode": "poly", "warmup_iters": 100,
                  # decay over the planned training horizon
                  "max_iters": args.lrs_max_iters or args.epochs * max(
@@ -353,6 +357,7 @@ def main(args=None):
         "pretrained_backbone": bool(args.pretrained_backbone),
         "epochs": args.epochs, "batch_size": args.batch_size,
         "lr": args.lr, "lrs": args.lrs,
+        "dcn_offset_lr_mult": args.dcn_offset_lr_mult,
     }
     # Save BEFORE the final eval: the eval dispatches fresh compiles through
     # the tunnel, which occasionally drops (remote_compile connection

@@ -142,6 +142,10 @@ def default_config() -> ConfigNode:
             "beta": 10,
             "negative_ratio": 3,
             "amsgrad": False,
+            # deformable backbones only: LR multiplier for the DCN
+            # sampling-offset branch (1.0 = reference parity; see
+            # train.trainer.make_optimizer)
+            "dcn_offset_lr_mult": 1.0,
         },
         "metric": {
             "thred_text_score": 0.25,

@@ -84,11 +84,30 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
+def _dcn_offset_mask(params):
+    """Pytree of bools marking every leaf under an ``offset_conv`` module
+    (the DCN sampling-offset branch, ``models/deform.py``)."""
+    def walk(node, inside):
+        if isinstance(node, dict):
+            return {k: walk(v, inside or k == "offset_conv")
+                    for k, v in node.items()}
+        return inside
+
+    return walk(params, False)
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """torch Adam parity (``src/train.py:114-117``): betas (0.9, 0.999),
     eps 1e-8, optional weight decay (torch Adam's L2-in-gradient form, not
     AdamW) and amsgrad. LR is applied separately per step so host-side
-    schedules (reduce-on-plateau) can steer it."""
+    schedules (reduce-on-plateau) can steer it.
+
+    ``optimizer.dcn_offset_lr_mult`` (default 1.0 = reference parity)
+    scales ONLY the deformable-conv offset branch's updates: Adam
+    normalizes gradient magnitude away, so zero-init offsets otherwise
+    take full-LR steps from the first update, and sampling coordinates
+    that wander early destabilize the features under them — the standard
+    mitigation is a reduced offset LR."""
     chain = []
     wd = float(cfg.optimizer.weight_decay or 0.0)
     if wd > 0:
@@ -97,6 +116,9 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         chain.append(optax.scale_by_amsgrad())
     else:
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    mult = float(getattr(cfg.optimizer, "dcn_offset_lr_mult", 1.0) or 1.0)
+    if mult != 1.0:
+        chain.append(optax.masked(optax.scale(mult), _dcn_offset_mask))
     return optax.chain(*chain)
 
 

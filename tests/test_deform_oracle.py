@@ -110,3 +110,52 @@ def test_bilinear_sample_zero_outside_and_exact_on_grid():
     got = np.asarray(_bilinear_sample(
         jnp.asarray(img), jnp.asarray([[[-0.5]]]), jnp.asarray([[[2.0]]])))
     np.testing.assert_allclose(got[0, 0, 0], 0.5 * img[0, 0, 2], rtol=1e-5)
+
+
+def test_dcn_offset_lr_mult_scales_only_offset_updates():
+    """optimizer.dcn_offset_lr_mult must scale the offset_conv branch's
+    Adam updates and leave every other parameter's updates untouched."""
+    import optax
+
+    from db_text_minimal_tpu.config import load_config
+    from db_text_minimal_tpu.train.trainer import (_dcn_offset_mask,
+                                                   make_optimizer)
+
+    params = {
+        "backbone": {
+            "layer1_0": {
+                "conv2": {
+                    "offset_conv": {"kernel": jnp.ones((3, 3, 4, 18)),
+                                    "bias": jnp.zeros((18,))},
+                    "kernel": jnp.ones((3, 3, 4, 4)),
+                },
+                "conv1": {"kernel": jnp.ones((3, 3, 4, 4))},
+            }
+        }
+    }
+    mask = _dcn_offset_mask(params)
+    assert mask["backbone"]["layer1_0"]["conv2"]["offset_conv"]["kernel"]
+    assert not mask["backbone"]["layer1_0"]["conv2"]["kernel"]
+    assert not mask["backbone"]["layer1_0"]["conv1"]["kernel"]
+
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    cfg = load_config(None)
+    cfg.optimizer.dcn_offset_lr_mult = 0.1
+    tx = make_optimizer(cfg)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    off = np.asarray(
+        updates["backbone"]["layer1_0"]["conv2"]["offset_conv"]["kernel"])
+    reg = np.asarray(updates["backbone"]["layer1_0"]["conv2"]["kernel"])
+    # grads are all-ones, so every update value is uniform per leaf
+    np.testing.assert_allclose(off.ravel(), 0.1 * reg.ravel()[0], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates["backbone"]["layer1_0"]["conv1"]["kernel"]),
+        reg, rtol=1e-6)
+
+    cfg.optimizer.dcn_offset_lr_mult = 1.0
+    tx = make_optimizer(cfg)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    off = np.asarray(
+        updates["backbone"]["layer1_0"]["conv2"]["offset_conv"]["kernel"])
+    np.testing.assert_allclose(off.ravel(), reg.ravel()[0], rtol=1e-6)
