@@ -215,9 +215,15 @@ def full_eval(trainer, state, test_loader, args, forward=None):
         # postprocess (src/postprocess.py:54-104) on host, plus the
         # device-assisted crop path (CC on device, contours on K crops)
         reps["host_poly"] = (host_rep, True)
-        reps["device_poly"] = (DevicePolyRepresenter(
-            thresh=args.thresh, box_thresh=args.box_thresh,
-            unclip_ratio=args.unclip_ratio), True)
+        try:
+            reps["device_poly"] = (DevicePolyRepresenter(
+                thresh=args.thresh, box_thresh=args.box_thresh,
+                unclip_ratio=args.unclip_ratio), True)
+        except ValueError as e:
+            # box_thresh <= thresh: outside the regime where the device
+            # poly path matches the host (see DevicePolyRepresenter);
+            # report host polygon rows only rather than diverging ones
+            print(f"# device_poly skipped: {e}", file=sys.stderr)
     evaluators = {
         "iou_pascal": DetectionIoUEvaluator(iou_constraint=0.4,
                                             area_precision_constraint=0.8),
