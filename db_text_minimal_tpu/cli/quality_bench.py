@@ -246,8 +246,9 @@ def full_eval(trainer, state, test_loader, args, forward=None):
             # forward's result is REUSED as the measured pass's forward
             # below — re-uploading + re-running the first batch would
             # double its device work on the upload-bound link for nothing.
-            wb = shard_batch(array_batch(batch), trainer.mesh)
-            wp = forward(wb)
+            # (not bound to a local: the batch's device buffers would stay
+            # referenced for the whole eval)
+            wp = forward(shard_batch(array_batch(batch), trainer.mesh))
             wshape = {"shape": [(size, size)] * wp.shape[0]}
             for rname, (rep, is_poly) in reps.items():
                 rep(wshape,
