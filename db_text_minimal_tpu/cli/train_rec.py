@@ -136,11 +136,25 @@ def main(opt):
         logger.info("epoch %d: loss %.4f", epoch, last_loss)
 
     host = jax.device_get(state)
+    # provenance sidecar carries the FULL architecture so later rec_bench /
+    # ocr runs can be checked against the checkpoint's actual stage combo
+    # (mirrors quality_bench's .train_config.json fix, VERDICT r2 weak #4)
     save_checkpoint(opt.out, {"params": host.params,
                               "batch_stats": host.batch_stats,
                               "opt_state": host.opt_state,
                               "step": host.step},
-                    {"epochs": opt.epochs, "loss": last_loss})
+                    {"epochs": opt.epochs, "loss": last_loss,
+                     "Transformation": opt.Transformation,
+                     "FeatureExtraction": opt.FeatureExtraction,
+                     "SequenceModeling": opt.SequenceModeling,
+                     "Prediction": opt.Prediction,
+                     "hidden_size": opt.hidden_size,
+                     "output_channel": opt.output_channel,
+                     "num_fiducial": opt.num_fiducial,
+                     "imgH": opt.imgH, "imgW": opt.imgW,
+                     "character": opt.character,
+                     "batch_max_length": opt.batch_max_length,
+                     "init_from": opt.init_from or None})
     logger.info("saved %s", opt.out)
     return opt.out, last_loss
 
