@@ -86,7 +86,14 @@ def load_args(argv=None):
     # reference canonical eval constants (Makefile:26-28)
     parser.add_argument("--thresh", type=float, default=0.25)
     parser.add_argument("--box_thresh", type=float, default=0.50)
-    parser.add_argument("--unclip_ratio", type=float, default=1.5)
+    parser.add_argument("--unclip_ratio", type=float, default=None,
+                        help="default 1.5 (reference src/postprocess.py:34);"
+                             " --line_level defaults it to 2.5 instead")
+    parser.add_argument("--line_level", action="store_true",
+                        help="line-level polygon preset (CTW1500 protocol):"
+                             " implies --polygon and, unless --unclip_ratio"
+                             " is given, the measured line-level operating"
+                             " point 2.5 (docs/PERFORMANCE.md §CTW)")
     parser.add_argument("--save_checkpoint", type=str, default=None)
     parser.add_argument("--img_size", type=int, default=640)
     parser.add_argument("--quant", action="store_true",
@@ -111,7 +118,12 @@ def load_args(argv=None):
                              "representer's box outputs during full_eval "
                              "so a live divergence can be replayed "
                              "offline bit-exactly")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.line_level:
+        args.polygon = True
+    if args.unclip_ratio is None:
+        args.unclip_ratio = 2.5 if args.line_level else 1.5
+    return args
 
 
 def _limit(dataset, n):

@@ -81,3 +81,18 @@ def test_ctw_polygon_operating_point_warning(capsys):
     # rect mode / totaltext at the default stays silent
     assert warn_ctw_polygon_operating_point(load_args(
         ["--data_dir", "/n", "--out", "/tmp/x.json"])) is False
+
+
+def test_line_level_preset_sets_polygon_and_unclip():
+    from db_text_minimal_tpu.cli.quality_bench import load_args
+
+    base = ["--data_dir", "/n", "--out", "/tmp/x.json",
+            "--dataset_format", "ctw1500"]
+    a = load_args(base + ["--line_level"])
+    assert a.polygon is True and a.unclip_ratio == 2.5
+    # explicit unclip wins over the preset
+    a = load_args(base + ["--line_level", "--unclip_ratio", "3.0"])
+    assert a.unclip_ratio == 3.0
+    # without the preset the reference default holds
+    a = load_args(base)
+    assert a.polygon is False and a.unclip_ratio == 1.5
