@@ -116,6 +116,19 @@ def _ancestor_pids():
     return pids
 
 
+def _pinned_to_cpu(pid: str) -> bool:
+    """A workload launched with JAX_PLATFORMS=cpu never opens the tunnel
+    (the package applies the env var through jax.config before backend
+    init), so it cannot corrupt a concurrent TPU measurement — e.g. the
+    CPU fallback evals that run during tunnel outages."""
+    try:
+        with open(f"/proc/{pid}/environ", "rb") as f:
+            env = f.read().decode("utf-8", "replace")
+    except OSError:
+        return False
+    return "JAX_PLATFORMS=cpu" in env.split("\0")
+
+
 def _other_tpu_pids():
     pids = []
     skip = _ancestor_pids()
@@ -131,6 +144,8 @@ def _other_tpu_pids():
             continue  # CPU-mesh test runs name the same modules
         if ("python" in cmd and any(m in cmd for m in _TPU_WORKLOAD_MARKERS)) \
                 or ("bash" in cmd and "/tmp/chain" in cmd):
+            if _pinned_to_cpu(pid):
+                continue
             pids.append((int(pid), cmd.strip()))
     return pids
 

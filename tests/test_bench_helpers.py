@@ -31,15 +31,37 @@ def test_other_tpu_pids_ignores_pytest_and_ancestors():
     # this very process is a pytest run whose cmdline could name test files
     # containing workload markers; it must never be reported
     assert all(pid != os.getpid() for pid, _ in b._other_tpu_pids())
-    # a live non-ancestor workload IS reported
+    # a live non-ancestor workload IS reported (pytest's own env pins
+    # JAX_PLATFORMS=cpu via conftest — drop it so the child counts as a
+    # tunnel workload)
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     proc = subprocess.Popen(
         [sys.executable, "-c",
          "import time; time.sleep(30)", "--tag", "cli.quality_bench"],
-        start_new_session=True)
+        start_new_session=True, env=env)
     try:
         time.sleep(0.3)
         found = [pid for pid, _ in b._other_tpu_pids() if pid == proc.pid]
         assert found, "detached workload with a marker cmdline not detected"
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_other_tpu_pids_skips_cpu_pinned_workloads():
+    # A workload launched with JAX_PLATFORMS=cpu never opens the tunnel, so
+    # it must not block the bench (e.g. CPU fallback evals during outages).
+    b = _load_bench()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import time; time.sleep(30)", "--tag", "cli.quality_bench"],
+        start_new_session=True, env=env)
+    try:
+        time.sleep(0.3)
+        assert b._pinned_to_cpu(str(proc.pid))
+        found = [pid for pid, _ in b._other_tpu_pids() if pid == proc.pid]
+        assert not found, "CPU-pinned workload wrongly blocks the bench"
     finally:
         proc.kill()
         proc.wait()
