@@ -53,10 +53,47 @@ _WAIT_BUDGET_S = float(os.environ.get("BENCH_WAIT_BUDGET_S", "480"))
 # line and exit 0 instead of being killed with no output.
 _HARD_DEADLINE_S = float(os.environ.get("BENCH_HARD_DEADLINE_S", "1320"))
 
+# Sentinel the bench raises the moment it starts waiting for the chip. The
+# detached evidence chains poll it before launching every TPU step and
+# between liveness probes, and YIELD (stop launching steps) while it exists —
+# so the driver's bench can preempt a chain instead of waiting out its
+# longest step (VERDICT r4 ask #2). Removed when the bench exits; chains
+# treat a sentinel older than 1 h as stale (a crashed bench must not wedge
+# future chains).
+_WANTS_CHIP_PATH = "/tmp/BENCH_WANTS_CHIP"
+
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
 
 def _emit(payload: dict) -> None:
-    print(json.dumps(payload))
-    sys.stdout.flush()
+    # First writer wins: the success path and the watchdog thread can race
+    # near the hard deadline; without this interlock both could print,
+    # violating the one-JSON-line contract (ADVICE r4).
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(payload))
+        sys.stdout.flush()
+
+
+def _raise_wants_chip() -> None:
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return  # CPU run needs no chip; don't pause the chains
+    try:
+        with open(_WANTS_CHIP_PATH, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+    except OSError:
+        pass
+
+
+def _clear_wants_chip() -> None:
+    try:
+        os.unlink(_WANTS_CHIP_PATH)
+    except OSError:
+        pass
 
 
 def _degraded_line(note: str) -> dict:
@@ -87,6 +124,7 @@ def _arm_watchdog() -> None:
         _emit(_degraded_line(
             f"hard deadline {_HARD_DEADLINE_S:.0f}s expired mid-measurement "
             "(tunnel hang?); reporting last known good"))
+        _clear_wants_chip()
         os._exit(0)
 
     t = threading.Timer(_HARD_DEADLINE_S, on_deadline)
@@ -98,7 +136,17 @@ def _arm_watchdog() -> None:
 # corrupt results (docs/PERFORMANCE.md), so the bench waits for them.
 _TPU_WORKLOAD_MARKERS = ("quality_bench", "cli.train", "train_rec",
                          "rec_bench", "diag_inproc", "tpu_gate",
-                         "e2e_probe", "pretrain_backbone")
+                         "e2e_probe", "pretrain_backbone", "_probe_run",
+                         "cli.prune", "cli.ocr", "cli.make_eval")
+
+# Cmdline markers of workloads KNOWN to honor a JAX_PLATFORMS=cpu env pin:
+# `import db_text_minimal_tpu` applies the env var via jax.config before
+# backend init. Bare scripts that import jax directly silently land on the
+# TPU regardless of the env var (CLAUDE.md), so the CPU-pin skip below must
+# only trust cmdlines in this list (ADVICE r4: a pinned-looking workload
+# that doesn't import the package would hold the tunnel invisibly).
+_HONORS_CPU_PIN_MARKERS = ("-m db_text_minimal_tpu.", "diag_inproc",
+                           "bench.py")
 
 
 def _ancestor_pids():
@@ -143,8 +191,9 @@ def _other_tpu_pids():
         if "pytest" in cmd:
             continue  # CPU-mesh test runs name the same modules
         if ("python" in cmd and any(m in cmd for m in _TPU_WORKLOAD_MARKERS)) \
-                or ("bash" in cmd and "/tmp/chain" in cmd):
-            if _pinned_to_cpu(pid):
+                or ("bash" in cmd and "chain" in cmd and ".sh" in cmd):
+            if _pinned_to_cpu(pid) and \
+                    any(m in cmd for m in _HONORS_CPU_PIN_MARKERS):
                 continue
             pids.append((int(pid), cmd.strip()))
     return pids
@@ -272,6 +321,14 @@ def bench_production(batch_size: int, steps: int = 20, size: int = 640,
 
 def main():
     _arm_watchdog()
+    _raise_wants_chip()  # tell detached chains to yield the chip
+    try:
+        _main_measure()
+    finally:
+        _clear_wants_chip()
+
+
+def _main_measure():
     blocked = wait_for_exclusive_tpu()
     if blocked:
         # Do NOT measure concurrently with another tunnel workload (silent

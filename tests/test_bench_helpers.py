@@ -50,21 +50,61 @@ def test_other_tpu_pids_ignores_pytest_and_ancestors():
 
 def test_other_tpu_pids_skips_cpu_pinned_workloads():
     # A workload launched with JAX_PLATFORMS=cpu never opens the tunnel, so
-    # it must not block the bench (e.g. CPU fallback evals during outages).
+    # it must not block the bench (e.g. CPU fallback evals during outages) —
+    # but ONLY cmdlines known to honor the pin (the package applies it via
+    # jax.config; bare scripts importing jax directly ignore the env var and
+    # still land on the TPU — ADVICE r4).
     b = _load_bench()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    proc = subprocess.Popen(
+    trusted = subprocess.Popen(
+        [sys.executable, "-c",
+         "import time; time.sleep(30)", "--tag",
+         "-m db_text_minimal_tpu.cli.quality_bench"],
+        start_new_session=True, env=env)
+    untrusted = subprocess.Popen(
         [sys.executable, "-c",
          "import time; time.sleep(30)", "--tag", "cli.quality_bench"],
         start_new_session=True, env=env)
     try:
         time.sleep(0.3)
-        assert b._pinned_to_cpu(str(proc.pid))
-        found = [pid for pid, _ in b._other_tpu_pids() if pid == proc.pid]
-        assert not found, "CPU-pinned workload wrongly blocks the bench"
+        assert b._pinned_to_cpu(str(trusted.pid))
+        pids = [pid for pid, _ in b._other_tpu_pids()]
+        assert trusted.pid not in pids, \
+            "CPU-pinned package workload wrongly blocks the bench"
+        assert untrusted.pid in pids, \
+            "pinned-looking bare script must still block (may ignore pin)"
     finally:
-        proc.kill()
-        proc.wait()
+        trusted.kill()
+        untrusted.kill()
+        trusted.wait()
+        untrusted.wait()
+
+
+def test_wants_chip_sentinel_lifecycle(monkeypatch, tmp_path):
+    # The sentinel is raised on a TPU run (so chains yield), cleared on
+    # exit, and never raised for CPU runs.
+    b = _load_bench()
+    sentinel = tmp_path / "BENCH_WANTS_CHIP"
+    monkeypatch.setattr(b, "_WANTS_CHIP_PATH", str(sentinel))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    b._raise_wants_chip()
+    assert not sentinel.exists()
+    monkeypatch.delenv("JAX_PLATFORMS")
+    b._raise_wants_chip()
+    assert sentinel.exists()
+    b._clear_wants_chip()
+    assert not sentinel.exists()
+    b._clear_wants_chip()  # idempotent
+
+
+def test_emit_is_once_only(capsys):
+    # ADVICE r4: success emit and watchdog emit can race near the deadline;
+    # first writer wins, exactly one JSON line ever prints.
+    b = _load_bench()
+    b._emit({"a": 1})
+    b._emit({"b": 2})
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and '"a"' in out[0]
 
 
 def test_wait_is_noop_on_cpu():
