@@ -51,7 +51,11 @@ def conv_weight_macs(params: dict) -> float:
 def _keep_arg(s: str):
     """Keep spec: values in (0, 1] are kept FRACTIONS, values > 1 are
     ABSOLUTE channel counts (forwarded as int — a bare float coercion
-    would silently strand prune_dbnet_variables' int path)."""
+    would silently strand prune_dbnet_variables' int path).
+
+    Limitation (ADVICE r4): '1' parses as fraction 1.0 (no pruning); the
+    library-level int 1 ('keep exactly one channel') is NOT expressible
+    from the CLI — use the Python API for single-channel keeps."""
     v = float(s)
     if v > 1:
         return int(round(v))
@@ -65,7 +69,8 @@ def load_args(argv=None):
     p.add_argument("--backbone_keep", type=_keep_arg, default=1.0,
                    help="kept fraction (<=1) or absolute channel count (>1) "
                         "of each BasicBlock's internal conv1 channels "
-                        "(1.0 = no pruning)")
+                        "(1.0 = no pruning; a count of exactly 1 is not "
+                        "expressible — '1' means fraction 1.0)")
     p.add_argument("--fpn_inner_keep", type=_keep_arg, default=1.0,
                    help="kept fraction (<=1) or count (>1) of the tied FPN "
                         "reduce/smooth width")

@@ -127,10 +127,12 @@ def distort_crop(crop: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     h, w = crop.shape[:2]
     out = crop.astype(np.float64)
 
-    # Severity is CALIBRATED to land a clean-trained recognizer mid-range
-    # (~.4-.6 word accuracy on the glyph split): a saturated split (1.0,
-    # the round-3 artifact) ranks nothing, and a floored one (the first
-    # cut of this transform measured .028) ranks nothing either.
+    # Severity is CALIBRATED away from both unrankable extremes: a
+    # saturated split (1.0, the round-3 artifact) ranks nothing, and a
+    # floored one (the first cut of this transform measured .028) ranks
+    # nothing either. The committed operating point for a clean-trained
+    # recognizer is .2414 (demo/ocr/rec_accuracy_distort.json) — low but
+    # rankable; tune the magnitudes below if a future model floors it.
 
     # perspective + rotation: jitter each corner up to 5% of the side and
     # rotate up to ±9 degrees about the center
