@@ -28,9 +28,13 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run_on_tpu(snippet: str) -> str:
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # 1500 s, not 600: right after a tunnel outage the first device
+    # dispatch of a NEW process takes 120-160 s and compiles run 3-5x
+    # slow (CLAUDE.md) — the round-5 gate's only failure was a
+    # subprocess.TimeoutExpired on exactly that window.
     proc = subprocess.run([sys.executable, "-c", snippet], cwd=_REPO,
                           env=env, capture_output=True, text=True,
-                          timeout=600)
+                          timeout=1500)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     return proc.stdout
 

@@ -20,8 +20,13 @@ def main():
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_tpu_hardware.py",
          "-q", "--no-header"],
-        env=env, capture_output=True, text=True, timeout=3600)
+        env=env, capture_output=True, text=True, timeout=4800)
     tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
+    # keep enough of the failure to diagnose it from the committed record
+    # (the r5 gate's truncated "subprocess..." cost a by-hand post-mortem)
+    failures = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("FAILED") or "TimeoutExpired" in ln
+                or "AssertionError" in ln][:6]
     record = {
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "git": subprocess.run(["git", "rev-parse", "--short", "HEAD"],
@@ -31,6 +36,8 @@ def main():
         "wall_s": round(time.time() - t0, 1),
         "summary": tail,
     }
+    if proc.returncode != 0 and failures:
+        record["failures"] = failures
     path = "demo/tpu_gate.json"
     records = []
     if os.path.exists(path):
