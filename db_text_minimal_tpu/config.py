@@ -160,14 +160,20 @@ def default_config() -> ConfigNode:
             # (scratch10 / 30ep / 40ep, both protocols —
             # demo/hard_bench/device_parity_r3.json).
             "device_boxes": True,
-            # ...but the PER-EPOCH eval inside a long-lived TRAINING
-            # process defaults to the host representer: two independent
-            # serialized runs measured in-process device rows ~4 F-points
-            # below host (docs/PERFORMANCE.md "REOPENED" note), which
-            # would bias best-hmean checkpoint selection. Fresh-process
-            # evals (make_eval, quality_bench --eval_only) are certified
-            # and unaffected by this flag.
-            "device_boxes_in_train": False,
+            # ...and the PER-EPOCH eval inside a long-lived TRAINING
+            # process now also defaults to the device representer: the
+            # round-5 discriminating probe (diag_inproc.py on the exact
+            # suspect class, demo/hard_bench/diag_inproc.json) evaluated
+            # the same checkpoint before and after 1000 in-process
+            # optimizer steps and measured BITWISE-identical maps and box
+            # outputs (compare_phases.py) with device-host deltas of
+            # -0.0002/-0.0002/-0.0006 across all three phases — refuting
+            # the 2026-08-17 "in-process device rows ~4 F-points low"
+            # observations (docs/PERFORMANCE.md RESOLVED note; those rows
+            # are attributed to the tunnel-corruption class certified in
+            # round 3). Set False to force the host representer for
+            # in-train evals.
+            "device_boxes_in_train": True,
         },
         "parallel": {
             "data_axis": "data",

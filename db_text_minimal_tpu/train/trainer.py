@@ -431,9 +431,11 @@ class Trainer:
         # extractor (threshold + CC + oriented rects under jit; K records
         # D2H instead of full maps); polygon mode takes the host parity
         # path. Inside a training process this additionally requires
-        # device_boxes_in_train: in-process post-training device evals
-        # measured ~4 F-points low twice (docs/PERFORMANCE.md REOPENED
-        # note) and would bias best-hmean checkpoint selection.
+        # device_boxes_in_train (default True since the round-5
+        # diag_inproc probe measured bitwise A/B parity after 1000
+        # in-process steps; docs/PERFORMANCE.md RESOLVED note — set it
+        # False to force the host representer if the 2026-08-17 deficit
+        # class is ever suspected again).
         use_device_boxes = (not is_poly
                             and bool(cfg.metric.device_boxes)
                             and bool(getattr(cfg.metric,

@@ -218,13 +218,13 @@ def test_eval_epoch_with_batch_size_two(synth, tmp_path):
     assert 0.0 <= hmean <= 1.0
 
 
-def test_in_train_eval_host_representer_default(synth, tmp_path,
-                                                monkeypatch):
-    """The per-epoch eval inside a training process defaults to the HOST
-    representer even with metric.device_boxes=True (in-process
-    post-training device evals measured ~4 F-points low twice —
-    docs/PERFORMANCE.md REOPENED note); metric.device_boxes_in_train=True
-    opts back in."""
+def test_in_train_eval_device_representer_default(synth, tmp_path,
+                                                  monkeypatch):
+    """The per-epoch eval inside a training process defaults to the DEVICE
+    representer with metric.device_boxes=True (the round-5 diag_inproc
+    probe measured bitwise in-process parity, resolving docs/PERFORMANCE.md
+    REOPENED note); metric.device_boxes_in_train=False opts back out to
+    the host representer."""
     from db_text_minimal_tpu.train import trainer as trainer_mod
 
     d, section = synth
@@ -251,12 +251,12 @@ def test_in_train_eval_host_representer_default(synth, tmp_path,
     trainer = Trainer(cfg, train_loader, test_loader)
     state = trainer.init_state(image_size=128, batch_size=2)
     trainer.eval_epoch(state)
-    assert used == ["host"]
+    assert used == ["device"]
 
-    cfg.metric.device_boxes_in_train = True
+    cfg.metric.device_boxes_in_train = False
     used.clear()
     trainer.eval_epoch(state)
-    assert used == ["device"]
+    assert used == ["host"]
 
 
 @pytest.mark.slow
