@@ -28,7 +28,7 @@ import optax
 from ..models.recognition import (AttnLabelConverter, CTCLabelConverter,
                                   RecognitionModel, rec_preprocess)
 from ..train.checkpoints import save_checkpoint
-from ..train.recognition_trainer import build_rec_train_step, init_rec_state
+from ..train.recognition_trainer import build_rec_chain_step, init_rec_state
 from ..utils import setup_logger
 
 
@@ -43,6 +43,11 @@ def load_args(argv=None):
                         "optimizer state starts fresh")
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--steps_per_call", type=int, default=16,
+                        help="optimizer steps chained inside one jitted "
+                        "call (lax.scan); amortizes the tunneled TPU "
+                        "runtime's ~70 ms per-call RPC. 1 = one dispatch "
+                        "per step; the trained result is identical")
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--character", type=str,
@@ -113,26 +118,43 @@ def main(opt):
         restored = load_params_any(opt.init_from)
         state = state.replace(params=restored["params"],
                               batch_stats=restored.get("batch_stats", {}))
-    step = jax.jit(build_rec_train_step(model, tx))
+    chain = jax.jit(build_rec_chain_step(model, tx), donate_argnums=0)
 
     images, texts = load_crop_dataset(opt)
     targets, lengths = converter.encode(texts, opt.batch_max_length)
+    targets = np.asarray(targets)
+    lengths = np.asarray(lengths)
+    # ship uint8, normalize on device (chain step): lossless round-trip of
+    # rec_preprocess's u8/127.5-1, and 4x fewer bytes over the ~26 MB/s
+    # tunnel upload
+    images_u8 = np.clip(np.round((images + 1.0) * 127.5), 0,
+                        255).astype(np.uint8)
+    del images
     logger.info("training on %d crops, %d classes", len(texts),
                 len(converter.character))
 
     rng = np.random.RandomState(opt.seed)
     n = len(texts)
     bs = min(opt.batch_size, n)
+    spc = max(1, opt.steps_per_call)
+    steps_per_epoch = n // bs
     last_loss = None
     for epoch in range(opt.epochs):
         order = rng.permutation(n)
-        for start in range(0, n - bs + 1, bs):
-            idx = order[start:start + bs]
-            state, loss = step(state, jnp.asarray(images[idx]),
-                               jnp.asarray(targets[idx]),
-                               jnp.asarray(lengths[idx]),
-                               jnp.float32(opt.lr))
-            last_loss = float(loss)
+        done = 0
+        while done < steps_per_epoch:
+            k = min(spc, steps_per_epoch - done)
+            idx = order[done * bs:(done + k) * bs]
+            state, losses = chain(
+                state,
+                jnp.asarray(images_u8[idx].reshape(
+                    k, bs, *images_u8.shape[1:])),
+                jnp.asarray(targets[idx].reshape(k, bs,
+                                                 *targets.shape[1:])),
+                jnp.asarray(lengths[idx].reshape(k, bs)),
+                jnp.float32(opt.lr))
+            last_loss = float(losses[-1])
+            done += k
         logger.info("epoch %d: loss %.4f", epoch, last_loss)
 
     host = jax.device_get(state)

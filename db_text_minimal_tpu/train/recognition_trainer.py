@@ -83,6 +83,34 @@ def build_rec_train_step(model: RecognitionModel,
     return train_step
 
 
+def build_rec_chain_step(model: RecognitionModel,
+                         tx: optax.GradientTransformation):
+    """K optimizer steps per jitted call: ``lax.scan`` of the single step
+    over a stacked (K, B, ...) macro-batch, images arriving uint8 and
+    normalized on device (``u8/127.5 - 1`` — bitwise the host
+    ``rec_preprocess`` formula).
+
+    Per-step dispatch is the wrong shape for the tunneled TPU runtime:
+    every call pays ~70 ms RPC and the per-step ``float(loss)`` sync
+    serializes on it, so a 950-step epoch spends >1 min in round-trips
+    alone. One chained call amortizes the RPC over K steps and uploads
+    4x fewer bytes (uint8 vs f32), the same ``compact_dtypes`` pattern
+    the detection trainer ships its batches with.
+    """
+    step = build_rec_train_step(model, tx)
+
+    def chain(state: RecTrainState, images_u8, targets, lengths, lr):
+        def body(carry, xs):
+            im, tg, ln = xs
+            imf = im.astype(jnp.float32) / 127.5 - 1.0
+            new, loss = step(carry, imf, tg, ln, lr)
+            return new, loss
+
+        return jax.lax.scan(body, state, (images_u8, targets, lengths))
+
+    return chain
+
+
 def init_rec_state(model: RecognitionModel, tx, seed: int = 0,
                    img_h: int = 32, img_w: int = 100,
                    channels: int = 1) -> RecTrainState:

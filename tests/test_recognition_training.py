@@ -58,6 +58,97 @@ def test_recognition_loss_decreases(rng, prediction):
     assert losses[-1] < losses[0] * 0.8, losses
 
 
+@pytest.mark.parametrize("prediction", ["CTC", "Attn"])
+def test_chain_step_matches_sequential(rng, prediction):
+    """build_rec_chain_step (K steps per jitted call, uint8 upload) must
+    train to the same state as K sequential single-step dispatches — the
+    chained path is a dispatch-shape change, not a training change.
+
+    Equality is up to XLA fusion-order float drift: the scan body and the
+    standalone step compile in different fusion contexts, so per-step
+    numerics differ at the ~1e-7 relative level and Adam's rsqrt amplifies
+    that over steps (measured: loss delta 1e-5 at step 1, params 6e-5
+    after 3 steps). The FIRST step's loss is asserted tightly — semantic
+    divergence (wrong data order, stale batch_stats) would show there."""
+    from db_text_minimal_tpu.train.recognition_trainer import \
+        build_rec_chain_step
+
+    converter = (CTCLabelConverter if prediction == "CTC"
+                 else AttnLabelConverter)("0123456789")
+    model = RecognitionModel(num_class=len(converter.character),
+                             feature_extraction="VGG",
+                             sequence_modeling="None",
+                             prediction=prediction, output_channel=128,
+                             hidden_size=64)
+    tx = optax.scale_by_adam()
+    state_seq = init_rec_state(model, tx, seed=3)
+    state_chain = init_rec_state(model, tx, seed=3)
+    step = jax.jit(build_rec_train_step(model, tx))
+    chain = jax.jit(build_rec_chain_step(model, tx))
+
+    k, words = 3, [["01", "23"], ["45", "67"], ["89", "08"]]
+    batches = [_batch(rng, converter, w) for w in words]
+    imgs_u8 = np.stack([
+        np.clip(np.round((np.asarray(im) + 1.0) * 127.5), 0,
+                255).astype(np.uint8) for im, _, _ in batches])
+    targets = np.stack([np.asarray(t) for _, t, _ in batches])
+    lengths = np.stack([np.asarray(ln) for _, _, ln in batches])
+
+    losses_seq = []
+    for i in range(k):
+        imf = jnp.asarray(imgs_u8[i].astype(np.float32) / 127.5 - 1.0)
+        state_seq, loss = step(state_seq, imf, jnp.asarray(targets[i]),
+                               jnp.asarray(lengths[i]), jnp.float32(1e-3))
+        losses_seq.append(float(loss))
+
+    state_chain, losses = chain(state_chain, jnp.asarray(imgs_u8),
+                                jnp.asarray(targets), jnp.asarray(lengths),
+                                jnp.float32(1e-3))
+    np.testing.assert_allclose(float(losses[0]), losses_seq[0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(state_seq.params),
+                    jax.tree.leaves(state_chain.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=5e-4)
+
+
+def test_train_rec_cli_steps_per_call_equivalence(tmp_path, rng):
+    """The CLI trains to (numerically) the same checkpoint whatever
+    --steps_per_call is; the flag only reshapes dispatch (tolerances per
+    test_chain_step_matches_sequential's fusion-drift note)."""
+    import cv2
+
+    from db_text_minimal_tpu.cli import train_rec
+    from db_text_minimal_tpu.train.checkpoints import load_params_any
+
+    crop_dir = tmp_path / "crops"
+    crop_dir.mkdir()
+    lines = []
+    for i, word in enumerate(["01", "23", "45", "67"] * 3):
+        img = np.zeros((32, 100), np.uint8)
+        cv2.putText(img, word, (4, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.8, 255,
+                    2)
+        cv2.imwrite(str(crop_dir / f"w{i}.png"), img)
+        lines.append(f"w{i}.png\t{word}")
+    (crop_dir / "labels.txt").write_text("\n".join(lines) + "\n")
+
+    small = ["--crop_dir", str(crop_dir), "--epochs", "2",
+             "--batch_size", "4", "--FeatureExtraction", "VGG",
+             "--SequenceModeling", "None", "--Prediction", "CTC",
+             "--output_channel", "128", "--hidden_size", "64"]
+    a_ckpt = str(tmp_path / "a.ckpt")
+    b_ckpt = str(tmp_path / "b.ckpt")
+    train_rec.main(train_rec.load_args(
+        small + ["--out", a_ckpt, "--steps_per_call", "1"]))
+    train_rec.main(train_rec.load_args(
+        small + ["--out", b_ckpt, "--steps_per_call", "2"]))
+    a = load_params_any(a_ckpt)["params"]
+    b = load_params_any(b_ckpt)["params"]
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-2, atol=2e-3)
+
+
 def test_train_rec_cli_end_to_end(tmp_path, rng):
     """train_rec CLI: crop dir + labels.txt -> trained checkpoint that the
     OCR predict path can load."""
