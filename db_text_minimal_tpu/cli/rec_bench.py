@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.recognition import predict, rec_preprocess
+from ..models.recognition import predict_batch, rec_preprocess
 from ..ops import geometry as geo
 from ..postprocess import SegDetectorRepresenter
 from ..metrics.iou import polygon_iou
@@ -168,6 +168,27 @@ def distort_crop(crop: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def _predict_chunked(tensors_list, converter, model, variables, args,
+                     forward, batch: int = 64):
+    """One device call per ``batch`` crops instead of one per crop (the
+    tunneled runtime charges ~70 ms RPC per call, so per-crop prediction
+    over a few thousand words costs tens of minutes of pure round-trips).
+    The last chunk is padded by repeating its final crop so every call has
+    the same static shape (one XLA compile), then sliced back."""
+    results = []
+    for i in range(0, len(tensors_list), batch):
+        chunk = list(tensors_list[i:i + batch])
+        n = len(chunk)
+        if n < batch:
+            chunk.extend([chunk[-1]] * (batch - n))
+        res = predict_batch(np.concatenate(chunk, axis=0), converter, model,
+                            variables, prediction=args.Prediction,
+                            batch_max_length=args.batch_max_length,
+                            forward=forward)
+        results.extend(res[:n])
+    return results
+
+
 def run_rec(args):
     """Word accuracy on held-out GT crops (test split)."""
     converter = build_converter(args)
@@ -177,6 +198,7 @@ def run_rec(args):
     conf_sum = 0.0
     per_image = []
     word_idx = 0
+    tensors_list, gt_list = [], []
     for img, words in _test_words(args):
         for poly, text in words:
             gt = _norm_text(text, args.character)
@@ -192,18 +214,18 @@ def run_rec(args):
                 crop = distort_crop(
                     crop, np.random.default_rng(args.distort_seed + word_idx))
             word_idx += 1
-            tensors = rec_preprocess(crop, img_h=args.imgH, img_w=args.imgW,
-                                     pad=args.PAD)
-            res = predict(tensors, converter, model, variables,
-                          prediction=args.Prediction,
-                          batch_max_length=args.batch_max_length,
-                          forward=forward)
-            ok = res["pred"] == gt
-            correct += int(ok)
-            total += 1
-            conf_sum += res["score"]
-            if not ok and len(per_image) < 20:
-                per_image.append({"gt": gt, "pred": res["pred"]})
+            tensors_list.append(rec_preprocess(crop, img_h=args.imgH,
+                                               img_w=args.imgW, pad=args.PAD))
+            gt_list.append(gt)
+    for gt, res in zip(gt_list, _predict_chunked(tensors_list, converter,
+                                                 model, variables, args,
+                                                 forward)):
+        ok = res["pred"] == gt
+        correct += int(ok)
+        total += 1
+        conf_sum += res["score"]
+        if not ok and len(per_image) < 20:
+            per_image.append({"gt": gt, "pred": res["pred"]})
     return {
         "mode": "rec",
         "distort": bool(args.distort),
@@ -233,6 +255,7 @@ def run_e2e(args):
                                  unclip_ratio=args.unclip_ratio)
     n_det = n_gt = det_match = e2e_match = 0
     n_images = 0
+    pending_tensors, pending_gts = [], []
     for img, words in _test_words(args):
         n_images += 1
         h, w = img.shape[:2]
@@ -272,14 +295,18 @@ def run_e2e(args):
                                   args.imgW, args.imgH)
             except ValueError:
                 continue
-            tensors = rec_preprocess(crop, img_h=args.imgH,
-                                     img_w=args.imgW, pad=args.PAD)
-            res = predict(tensors, converter, rec_model, rec_vars,
-                          prediction=args.Prediction,
-                          batch_max_length=args.batch_max_length,
-                          forward=rec_fwd)
-            if res["pred"] == gts[best_j][1]:
-                e2e_match += 1
+            # defer recognition: pred==gt is independent per crop, so all
+            # matched crops across the split run as one chunked batch
+            pending_tensors.append(rec_preprocess(crop, img_h=args.imgH,
+                                                  img_w=args.imgW,
+                                                  pad=args.PAD))
+            pending_gts.append(gts[best_j][1])
+    for gt, res in zip(pending_gts, _predict_chunked(pending_tensors,
+                                                     converter, rec_model,
+                                                     rec_vars, args,
+                                                     rec_fwd)):
+        if res["pred"] == gt:
+            e2e_match += 1
     det_p = det_match / max(n_det, 1)
     det_r = det_match / max(n_gt, 1)
     e2e_p = e2e_match / max(n_det, 1)

@@ -80,6 +80,49 @@ def test_predict_contract(rng):
     assert 0.0 <= result["score"] <= 1.0
 
 
+@pytest.mark.parametrize("pred_head", ["CTC", "Attn"])
+def test_predict_batch_matches_per_item(rng, pred_head):
+    """Batched decode (one device call per chunk) must reproduce the
+    per-crop ``predict`` results element for element."""
+    from db_text_minimal_tpu.models.recognition import predict_batch
+
+    num_class = 37 if pred_head == "CTC" else 38
+    conv = (CTCLabelConverter(CHARSET) if pred_head == "CTC"
+            else AttnLabelConverter(CHARSET))
+    m = RecognitionModel(num_class=num_class, feature_extraction="VGG",
+                         sequence_modeling="None", prediction=pred_head)
+    x = (rng.rand(5, 32, 100, 1).astype(np.float32) - 0.5) * 2
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    batched = predict_batch(x, conv, m, v, prediction=pred_head)
+    assert len(batched) == 5
+    for i, res in enumerate(batched):
+        single = predict(x[i:i + 1], conv, m, v, prediction=pred_head)
+        assert res["pred"] == single["pred"]
+        assert res["score"] == pytest.approx(single["score"], abs=1e-6)
+
+
+def test_predict_chunked_pads_last_chunk(rng):
+    """_predict_chunked pads the tail chunk to a static shape and slices
+    the results back — the output must align 1:1 with the inputs."""
+    from db_text_minimal_tpu.cli.rec_bench import _predict_chunked, load_args
+
+    m = RecognitionModel(num_class=37, feature_extraction="VGG",
+                         sequence_modeling="None", prediction="CTC")
+    conv = CTCLabelConverter(CHARSET)
+    xs = [(rng.rand(1, 32, 100, 1).astype(np.float32) - 0.5) * 2
+          for _ in range(7)]
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]), train=False)
+    args = load_args(["--mode", "rec", "--data_dir", "x", "--out", "y",
+                      "--saved_model", "z", "--Prediction", "CTC"])
+    fwd = jax.jit(lambda vv, t: m.apply(vv, t, train=False))
+    chunked = _predict_chunked(xs, conv, m, v, args, fwd, batch=3)
+    assert len(chunked) == 7
+    for x, res in zip(xs, chunked):
+        single = predict(x, conv, m, v, prediction="CTC")
+        assert res["pred"] == single["pred"]
+        assert res["score"] == pytest.approx(single["score"], abs=1e-6)
+
+
 def test_attention_teacher_forcing_mode():
     m = RecognitionModel(num_class=38, feature_extraction="VGG",
                          sequence_modeling="None", prediction="Attn")
